@@ -1,0 +1,98 @@
+"""Engine configuration.
+
+Single typed config covering the engine surface the reference exposes as
+vLLM CLI passthrough (reference: benchmark-vllm/models.py:5-31 VLLMConfig —
+model, gpu_memory_utilization, max_num_seqs, block_size, tensor/pipeline
+parallel size, dtype, quantization, max_model_len, served_model_name,
+additional_args), retargeted to TPU: mesh axes replace NCCL world sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class EngineConfig:
+    model: str = ""                      # path to HF model dir (or logical name)
+    served_model_name: Optional[str] = None
+    dtype: str = "bfloat16"              # "bfloat16" | "float32"
+    quantization: Optional[str] = None   # None|"int8"|"fp8"|"w8a8"|"int4"
+    kv_cache_dtype: Optional[str] = None  # None (=dtype) | "int8" | "fp8"
+
+    # KV cache / batching (names match the reference's flag surface)
+    block_size: int = 16                 # tokens per KV block
+    max_num_seqs: int = 8                # decode batch width
+    max_model_len: int = 2048            # max context length per sequence
+    max_num_batched_tokens: int = 512    # prefill chunk budget per step
+    hbm_utilization: float = 0.9         # analog of gpu_memory_utilization
+    num_kv_blocks: Optional[int] = None  # explicit override (tests)
+
+    # Parallelism (mesh axes, not NCCL ranks)
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    expert_parallel_size: int = 1
+
+    # Execution
+    attn_impl: str = "auto"              # "auto"|"xla"|"pallas"
+    enforce_eager: bool = False          # parity flag; jit is always used
+    seed: int = 0
+
+    # Prefill sequence-length buckets (powers of two generated up to max)
+    prefill_buckets: tuple = ()
+
+    additional_args: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.served_model_name:
+            self.served_model_name = self.model.rstrip("/").split("/")[-1]
+        if not self.prefill_buckets:
+            buckets = []
+            b = 16
+            while b < min(self.max_num_batched_tokens, self.max_model_len):
+                buckets.append(b)
+                b *= 2
+            buckets.append(min(self.max_num_batched_tokens, self.max_model_len))
+            self.prefill_buckets = tuple(buckets)
+        if self.kv_cache_dtype in (None, "auto"):
+            self.kv_cache_dtype = self.dtype
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return (self.max_model_len + self.block_size - 1) // self.block_size
+
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16}[self.dtype]
+
+    def kv_jnp_dtype(self):
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16, "int8": jnp.int8,
+                "fp8": jnp.float8_e4m3fn}[self.kv_cache_dtype]
+
+    def matches(self, other: "EngineConfig") -> bool:
+        """Config-equality for deployment reuse (reference:
+        benchmark-vllm/models.py:37-55 VLLMConfig.matches_config)."""
+        keys = ("model", "dtype", "quantization", "block_size", "max_num_seqs",
+                "max_model_len", "tensor_parallel_size", "data_parallel_size",
+                "pipeline_parallel_size", "expert_parallel_size")
+        return all(getattr(self, k) == getattr(other, k) for k in keys)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        extra = {k: v for k, v in d.items() if k not in known}
+        kw: dict[str, Any] = {k: v for k, v in d.items() if k in known}
+        if extra:
+            kw.setdefault("additional_args", {}).update(extra)
+        if "prefill_buckets" in kw and kw["prefill_buckets"]:
+            kw["prefill_buckets"] = tuple(kw["prefill_buckets"])
+        return cls(**kw)

@@ -1,0 +1,363 @@
+"""LLMEngine: the continuous-batching execution loop.
+
+TPU-native replacement for the vLLM AsyncLLMEngine the reference deploys as
+an external image (reference contract: launch args assembled at
+benchmark-vllm/vllm_templates.py:50-87; probed over /health, /v1/models,
+/v1/completions). Responsibilities:
+
+  host (Python, this file):  admission, paged-block bookkeeping, stop
+    conditions, detokenization hooks, metrics.
+  device (jit, static shapes): prefill chunk forward, fused decode
+    step = forward + penalties + sampling + count update, with the KV cache
+    and sampler-count buffers donated so XLA updates them in place.
+
+Two compiled programs cover steady state: one decode step (fixed
+max_num_seqs width) and one prefill program per power-of-two length bucket.
+That is the XLA analog of vLLM's CUDA-graph capture.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..loader.hf import ModelConfig
+from ..models import get_model
+from ..models.common import AttnInputs, KVCache, init_kv_cache
+from .block_allocator import BlockAllocator
+from .config import EngineConfig
+from .outputs import RequestOutput
+from .request import Request, RequestStatus, SamplingParams
+from .sampling import apply_penalties, sample
+from .scheduler import Scheduler
+
+logger = logging.getLogger(__name__)
+
+
+class LLMEngine:
+    def __init__(self, econfig: EngineConfig, *,
+                 model_cfg: Optional[ModelConfig] = None,
+                 params=None, tokenizer=None):
+        self.econfig = econfig
+        if params is None:
+            from ..loader.safetensors import load_model
+            model_cfg, params = load_model(econfig.model,
+                                           dtype=econfig.jnp_dtype())
+        assert model_cfg is not None
+        self.model_cfg = model_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.family = get_model(model_cfg.arch)
+
+        self.attn_impl = econfig.attn_impl
+        if self.attn_impl == "auto":
+            self.attn_impl = ("pallas" if jax.default_backend() == "tpu"
+                              else "xla")
+
+        num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
+        self.cache: KVCache = init_kv_cache(
+            model_cfg, num_blocks, econfig.block_size,
+            dtype=econfig.kv_jnp_dtype())
+        self.allocator = BlockAllocator(num_blocks)
+        self.scheduler = Scheduler(econfig, self.allocator)
+
+        B = econfig.max_num_seqs
+        MB = econfig.max_blocks_per_seq
+        self._B, self._MB = B, MB
+        # host-side per-slot state
+        self._bt = np.zeros((B, MB), dtype=np.int32)
+        self._kv_lens = np.zeros((B,), dtype=np.int32)
+        self._last = np.zeros((B,), dtype=np.int32)
+        self._active = np.zeros((B,), dtype=bool)
+        self._slot_req: List[Optional[Request]] = [None] * B
+        self._samp = {
+            "seeds": np.zeros((B,), dtype=np.int32),
+            "steps": np.zeros((B,), dtype=np.int32),
+            "temperature": np.ones((B,), dtype=np.float32),
+            "top_k": np.zeros((B,), dtype=np.int32),
+            "top_p": np.ones((B,), dtype=np.float32),
+            "min_p": np.zeros((B,), dtype=np.float32),
+            "presence": np.zeros((B,), dtype=np.float32),
+            "frequency": np.zeros((B,), dtype=np.float32),
+            "repetition": np.ones((B,), dtype=np.float32),
+        }
+        # on-device output-token counts for penalties
+        self._counts = jnp.zeros((B, model_cfg.vocab_size), dtype=jnp.int32)
+
+        self._requests: Dict[str, Request] = {}
+        self._build_device_fns()
+        # metrics
+        self.metrics = {"num_steps": 0, "num_prefill_steps": 0,
+                        "num_decode_steps": 0, "generated_tokens": 0,
+                        "preemptions": 0}
+
+    # ------------------------------------------------------------------ setup
+
+    def _auto_num_blocks(self) -> int:
+        """Size the KV pool from device memory, like gpu_memory_utilization
+        (reference: benchmark-vllm/models.py:8)."""
+        cfg, e = self.model_cfg, self.econfig
+        bytes_per_tok = (cfg.num_layers * 2 * cfg.num_kv_heads * cfg.head_dim
+                         * jnp.dtype(e.kv_jnp_dtype()).itemsize)
+        param_bytes = sum(x.size * x.dtype.itemsize
+                          for x in jax.tree.leaves(self.params))
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            total = stats["bytes_limit"]
+        except Exception:
+            total = 16 * 1024**3  # v5e HBM
+        budget = int(total * e.hbm_utilization) - param_bytes
+        # floor: enough for one full-length sequence per slot if possible
+        num = max(budget // (bytes_per_tok * e.block_size), 0)
+        need_min = e.max_num_seqs * 2 + 2
+        num = max(min(num, e.max_num_seqs * e.max_blocks_per_seq + 1), need_min)
+        return int(num)
+
+    def _build_device_fns(self):
+        cfg = self.model_cfg
+        fwd = self.family.forward_hidden
+        logits_fn = self.family.logits_from_hidden
+        impl = self.attn_impl
+        B = self._B
+
+        def decode_step(params, cache, counts, tokens, positions,
+                        block_tables, kv_lens, active, samp):
+            attn = AttnInputs(
+                block_tables=block_tables, kv_lens=kv_lens,
+                positions=positions[:, None], write_mask=active[:, None])
+            hidden, cache = fwd(params, cfg, tokens[:, None], attn, cache,
+                                attn_impl=impl)
+            logits = logits_fn(params, hidden[:, 0])  # [B, V] fp32
+            logits = apply_penalties(logits, counts, samp["presence"],
+                                     samp["frequency"], samp["repetition"])
+            toks = sample(logits, seeds=samp["seeds"], steps=samp["steps"],
+                          temperature=samp["temperature"], top_k=samp["top_k"],
+                          top_p=samp["top_p"], min_p=samp["min_p"])
+            toks = jnp.where(active, toks, 0)
+            counts = counts.at[jnp.arange(B), toks].add(active.astype(jnp.int32))
+            return toks, cache, counts
+
+        self._decode_fn = jax.jit(decode_step, donate_argnums=(1, 2))
+
+        def prefill_step(params, cache, tokens, positions, block_tables,
+                         kv_len, write_mask, last_idx):
+            attn = AttnInputs(
+                block_tables=block_tables, kv_lens=kv_len,
+                positions=positions, write_mask=write_mask)
+            hidden, cache = fwd(params, cfg, tokens, attn, cache,
+                                attn_impl=impl)
+            last_h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0,
+                                                  keepdims=False)
+            return logits_fn(params, last_h), cache
+
+        self._prefill_fn = jax.jit(prefill_step, donate_argnums=(1,))
+
+        def first_token(counts, logits, slot, samp_row):
+            counts = counts.at[slot].set(0)
+            tok = sample(
+                logits[None, :], seeds=samp_row["seeds"][None],
+                steps=samp_row["steps"][None],
+                temperature=samp_row["temperature"][None],
+                top_k=samp_row["top_k"][None], top_p=samp_row["top_p"][None],
+                min_p=samp_row["min_p"][None])[0]
+            counts = counts.at[slot, tok].add(1)
+            return tok, counts
+
+        self._first_token_fn = jax.jit(first_token, donate_argnums=(0,))
+
+    # ------------------------------------------------------------- admission
+
+    def add_request(self, prompt_token_ids: Sequence[int],
+                    sampling: Optional[SamplingParams] = None,
+                    priority: str = "medium",
+                    request_id: Optional[str] = None) -> str:
+        req = Request(prompt_token_ids=list(prompt_token_ids),
+                      sampling=sampling or SamplingParams(),
+                      priority=priority,
+                      request_id=request_id or "")
+        self.scheduler.add(req)
+        self._requests[req.request_id] = req
+        return req.request_id
+
+    def abort_request(self, request_id: str) -> bool:
+        return self.scheduler.abort(request_id)
+
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_work()
+
+    # ------------------------------------------------------------- execution
+
+    def step(self) -> List[RequestOutput]:
+        plan = self.scheduler.schedule()
+        self.metrics["preemptions"] += len(plan.preempted)
+        for req in plan.preempted:
+            self._release_slot_state(req)
+        outputs: List[RequestOutput] = []
+        if plan.prefill is not None:
+            self.metrics["num_prefill_steps"] += 1
+            out = self._run_prefill(plan.prefill)
+            if out is not None:
+                outputs.append(out)
+        elif plan.decode is not None:
+            self.metrics["num_decode_steps"] += 1
+            outputs.extend(self._run_decode(plan.decode))
+        self.metrics["num_steps"] += 1
+        return outputs
+
+    def _release_slot_state(self, req: Request) -> None:
+        # slot was already freed by the scheduler; clear host mirrors lazily
+        for s, r in enumerate(self._slot_req):
+            if r is req:
+                self._slot_req[s] = None
+                self._active[s] = False
+
+    def _run_prefill(self, plan) -> Optional[RequestOutput]:
+        req, start, length, bucket = (plan.request, plan.start, plan.length,
+                                      plan.bucket)
+        e = self.econfig
+        tokens = np.zeros((1, bucket), dtype=np.int32)
+        chunk = req.prompt_token_ids[start:start + length]
+        tokens[0, :length] = chunk
+        positions = (start + np.arange(bucket, dtype=np.int32))[None, :]
+        bt = np.zeros((1, self._MB), dtype=np.int32)
+        bt[0, :len(req.block_ids)] = req.block_ids
+        write_mask = (np.arange(bucket) < length)[None, :]
+        kv_len = np.array([start + length], dtype=np.int32)
+
+        logits, self.cache = self._prefill_fn(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(positions), jnp.asarray(bt), jnp.asarray(kv_len),
+            jnp.asarray(write_mask), length - 1)
+
+        self.scheduler.on_prefill_progress(req, length)
+        if not req.prefill_done:
+            return None
+
+        # final chunk: sample the first generated token
+        slot = req.slot
+        assert slot is not None
+        s = req.sampling
+        self._samp["seeds"][slot] = (s.seed if s.seed is not None
+                                     else (hash(req.request_id) & 0x7FFFFFFF))
+        self._samp["steps"][slot] = 0
+        self._samp["temperature"][slot] = s.temperature
+        self._samp["top_k"][slot] = s.top_k
+        self._samp["top_p"][slot] = s.top_p
+        self._samp["min_p"][slot] = s.min_p
+        self._samp["presence"][slot] = s.presence_penalty
+        self._samp["frequency"][slot] = s.frequency_penalty
+        self._samp["repetition"][slot] = s.repetition_penalty
+
+        samp_row = {k: jnp.asarray(v[slot]) for k, v in self._samp.items()}
+        tok, self._counts = self._first_token_fn(
+            self._counts, logits, slot, samp_row)
+        tok = int(tok)
+        req.first_token_time = time.monotonic()
+        self._samp["steps"][slot] = 1
+        req.output_token_ids.append(tok)
+        self.metrics["generated_tokens"] += 1
+
+        self._slot_req[slot] = req
+        self._active[slot] = True
+        self._bt[slot, :] = 0
+        self._bt[slot, :len(req.block_ids)] = req.block_ids
+        self._kv_lens[slot] = req.num_prompt_tokens
+        self._last[slot] = tok
+
+        return self._emit(req, [tok])
+
+    def _run_decode(self, plan) -> List[RequestOutput]:
+        # refresh block tables (scheduler may have appended blocks)
+        for req in plan.requests:
+            s = req.slot
+            self._bt[s, :len(req.block_ids)] = req.block_ids
+
+        positions = self._kv_lens.copy()
+        kv_lens_attn = self._kv_lens + self._active.astype(np.int32)
+        samp = {k: jnp.asarray(v) for k, v in self._samp.items()}
+        toks, self.cache, self._counts = self._decode_fn(
+            self.params, self.cache, self._counts,
+            jnp.asarray(self._last), jnp.asarray(positions),
+            jnp.asarray(self._bt), jnp.asarray(kv_lens_attn),
+            jnp.asarray(self._active), samp)
+        toks = np.asarray(jax.device_get(toks))
+
+        outputs = []
+        for req in plan.requests:
+            s = req.slot
+            tok = int(toks[s])
+            req.output_token_ids.append(tok)
+            self._kv_lens[s] += 1
+            self._last[s] = tok
+            self._samp["steps"][s] += 1
+            self.metrics["generated_tokens"] += 1
+            outputs.append(self._emit(req, [tok]))
+        return outputs
+
+    # ----------------------------------------------------------- termination
+
+    def _stop_status(self, req: Request) -> Optional[RequestStatus]:
+        tok = req.output_token_ids[-1]
+        s = req.sampling
+        eos = set(self.model_cfg.eos_token_ids) | set(s.stop_token_ids)
+        if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
+            eos.add(self.tokenizer.eos_token_id)
+        if not s.ignore_eos and tok in eos:
+            return RequestStatus.FINISHED_STOPPED
+        if len(req.output_token_ids) >= s.max_tokens:
+            return RequestStatus.FINISHED_LENGTH
+        if req.num_tokens >= self.econfig.max_model_len:
+            return RequestStatus.FINISHED_LENGTH
+        return None
+
+    def _emit(self, req: Request, new_tokens: List[int]) -> RequestOutput:
+        status = self._stop_status(req)
+        if status is not None:
+            slot = req.slot
+            self.scheduler.finish(req, status)
+            if slot is not None:
+                self._active[slot] = False
+                self._slot_req[slot] = None
+            del self._requests[req.request_id]
+        return RequestOutput(
+            request_id=req.request_id,
+            new_token_ids=new_tokens,
+            output_token_ids=list(req.output_token_ids),
+            finished=status is not None,
+            finish_reason=status.finish_reason if status else None,
+            num_prompt_tokens=req.num_prompt_tokens,
+            ttft=(req.first_token_time - req.arrival_time
+                  if req.first_token_time else None),
+            latency=(req.finish_time - req.arrival_time
+                     if req.finish_time else None),
+        )
+
+    # ------------------------------------------------------------ convenience
+
+    def generate(self, prompts: Sequence[Sequence[int]],
+                 sampling: Optional[SamplingParams] = None,
+                 priority: str = "medium") -> List[RequestOutput]:
+        """Blocking batch generation; returns final outputs in prompt order."""
+        ids = [self.add_request(p, sampling, priority) for p in prompts]
+        finals: Dict[str, RequestOutput] = {}
+        while self.has_unfinished():
+            for out in self.step():
+                if out.finished:
+                    finals[out.request_id] = out
+        return [finals[i] for i in ids]
+
+    def stats(self) -> dict:
+        return {
+            **self.metrics,
+            "num_waiting": self.scheduler.num_waiting,
+            "num_running": self.scheduler.num_running,
+            "kv_blocks_total": self.allocator.num_blocks,
+            "kv_blocks_free": self.allocator.num_free,
+            "kv_occupancy": 1.0 - self.allocator.num_free
+                            / max(self.allocator.num_blocks - 1, 1),
+        }

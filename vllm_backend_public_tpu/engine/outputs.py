@@ -1,0 +1,19 @@
+"""Engine step outputs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class RequestOutput:
+    request_id: str
+    new_token_ids: List[int] = field(default_factory=list)
+    output_token_ids: List[int] = field(default_factory=list)
+    finished: bool = False
+    finish_reason: Optional[str] = None
+    num_prompt_tokens: int = 0
+    # wall-clock metrics (monotonic seconds)
+    ttft: Optional[float] = None
+    latency: Optional[float] = None

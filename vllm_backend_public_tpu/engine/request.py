@@ -1,0 +1,104 @@
+"""Request / sequence state and sampling parameters.
+
+Priority semantics mirror the reference queue scheduler
+(urgent > high > medium > low, FIFO within a class —
+reference: benchmark-vllm/queue_manager.py:579-580), applied here at token
+granularity instead of deployment granularity.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional, Sequence
+
+PRIORITY_ORDER = {"urgent": 0, "high": 1, "medium": 2, "low": 3}
+
+_req_counter = itertools.count()
+
+
+@dataclass
+class SamplingParams:
+    max_tokens: int = 16
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0
+    min_p: float = 0.0
+    seed: Optional[int] = None
+    stop_token_ids: Sequence[int] = ()
+    stop: Sequence[str] = ()
+    ignore_eos: bool = False
+    logprobs: Optional[int] = None
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    n: int = 1
+    echo: bool = False
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0
+
+
+class RequestStatus(Enum):
+    WAITING = "waiting"
+    RUNNING = "running"
+    PREEMPTED = "preempted"
+    FINISHED_STOPPED = "stop"        # hit stop token / string
+    FINISHED_LENGTH = "length"       # hit max_tokens / max_model_len
+    FINISHED_ABORTED = "abort"
+
+    @property
+    def finished(self) -> bool:
+        return self in (RequestStatus.FINISHED_STOPPED,
+                        RequestStatus.FINISHED_LENGTH,
+                        RequestStatus.FINISHED_ABORTED)
+
+    @property
+    def finish_reason(self) -> Optional[str]:
+        return self.value if self.finished else None
+
+
+@dataclass
+class Request:
+    prompt_token_ids: List[int]
+    sampling: SamplingParams
+    request_id: str = ""
+    priority: str = "medium"
+    arrival_time: float = field(default_factory=time.monotonic)
+
+    status: RequestStatus = RequestStatus.WAITING
+    output_token_ids: List[int] = field(default_factory=list)
+    # paged-KV bookkeeping
+    block_ids: List[int] = field(default_factory=list)
+    num_computed_tokens: int = 0  # prompt tokens whose KV is materialized
+    # metrics
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+    # decode slot while running (index into the static decode batch)
+    slot: Optional[int] = None
+
+    def __post_init__(self):
+        if not self.request_id:
+            self.request_id = f"req-{next(_req_counter)}"
+
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_prompt_tokens + len(self.output_token_ids)
+
+    @property
+    def all_token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    @property
+    def prefill_done(self) -> bool:
+        return self.num_computed_tokens >= self.num_prompt_tokens
+
+    def sort_key(self):
+        return (PRIORITY_ORDER.get(self.priority, 2), self.arrival_time)

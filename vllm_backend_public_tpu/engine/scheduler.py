@@ -1,0 +1,208 @@
+"""Continuous-batching scheduler (token granularity).
+
+This is the token-level replacement for the reference's macro-scale queue
+scheduler (reference: benchmark-vllm/queue_manager.py:523-790 — priority
+FIFO, one request at a time, 30 s poll). Here the same priority policy
+(urgent>high>medium>low, FIFO within class) schedules *tokens* every step:
+
+- A step is either ONE chunked-prefill (one sequence, bucketed length) or
+  ONE decode batch over all running sequences. Prefill is preferred while
+  decode slots are free, so the batch fills up (prefill-priority continuous
+  batching).
+- Block-exhaustion triggers preemption of the lowest-priority/youngest
+  running request (blocks freed, request recomputed later) — the analog of
+  the reference's cancel-and-cleanup path (queue_manager.py:176-367).
+
+Shapes stay static: decode always runs the full max_num_seqs-wide batch;
+prefill lengths snap to power-of-two buckets. That keeps the XLA compile
+cache small and hot (the TPU analog of CUDA-graph capture the reference
+toggles with --enforce-eager, vllm_templates.py:61).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from .block_allocator import BlockAllocator, OutOfBlocks
+from .config import EngineConfig
+from .request import Request, RequestStatus
+
+
+@dataclass
+class PrefillPlan:
+    request: Request
+    start: int       # first prompt position in this chunk
+    length: int      # real tokens this chunk
+    bucket: int      # padded length
+
+
+@dataclass
+class DecodePlan:
+    requests: List[Request]  # all running seqs (slot already assigned)
+
+
+@dataclass
+class SchedulerOutput:
+    prefill: Optional[PrefillPlan] = None
+    decode: Optional[DecodePlan] = None
+    preempted: List[Request] = field(default_factory=list)
+
+    @property
+    def is_idle(self) -> bool:
+        return self.prefill is None and self.decode is None
+
+
+class Scheduler:
+    def __init__(self, cfg: EngineConfig, allocator: BlockAllocator):
+        self.cfg = cfg
+        self.allocator = allocator
+        self.waiting: List[Request] = []
+        self.running: List[Request] = []
+        self._free_slots = list(range(cfg.max_num_seqs - 1, -1, -1))
+
+    # ---- queue management -------------------------------------------------
+
+    def add(self, req: Request) -> None:
+        if req.num_prompt_tokens >= self.cfg.max_model_len:
+            raise ValueError(
+                f"prompt length {req.num_prompt_tokens} >= max_model_len "
+                f"{self.cfg.max_model_len}")
+        req.status = RequestStatus.WAITING
+        self.waiting.append(req)
+        self.waiting.sort(key=Request.sort_key)
+
+    def abort(self, request_id: str) -> bool:
+        for q in (self.waiting, self.running):
+            for r in q:
+                if r.request_id == request_id:
+                    self._finish(r, RequestStatus.FINISHED_ABORTED)
+                    q.remove(r)
+                    return True
+        return False
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    @property
+    def num_running(self) -> int:
+        return len(self.running)
+
+    # ---- per-step planning ------------------------------------------------
+
+    def schedule(self) -> SchedulerOutput:
+        out = SchedulerOutput()
+
+        # 1. try to admit/advance a prefill while decode slots are free
+        if self.waiting and len(self.running) < self.cfg.max_num_seqs:
+            req = self.waiting[0]
+            plan = self._plan_prefill_chunk(req, out)
+            if plan is not None:
+                out.prefill = plan
+                return out
+
+        # 2. otherwise decode the running batch
+        if self.running:
+            self._ensure_decode_blocks(out)
+            if self.running:
+                out.decode = DecodePlan(requests=list(self.running))
+        return out
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.cfg.prefill_buckets:
+            if n <= b:
+                return b
+        return self.cfg.prefill_buckets[-1]
+
+    def _plan_prefill_chunk(self, req: Request,
+                            out: SchedulerOutput) -> Optional[PrefillPlan]:
+        start = req.num_computed_tokens
+        remaining = req.num_prompt_tokens - start
+        length = min(remaining, self.cfg.max_num_batched_tokens)
+        bucket = self._bucket_for(length)
+        # blocks needed to hold start+length tokens (+1 lookahead for the
+        # first decode token so prefill-complete can sample immediately)
+        end = start + length
+        need_tokens = end + (1 if end == req.num_prompt_tokens else 0)
+        need_blocks = -(-need_tokens // self.cfg.block_size) - len(req.block_ids)
+        if need_blocks > 0:
+            if not self._reclaim(need_blocks, victim_exempt=req, out=out):
+                return None
+            req.block_ids.extend(self.allocator.allocate(need_blocks))
+        return PrefillPlan(request=req, start=start, length=length, bucket=bucket)
+
+    def _ensure_decode_blocks(self, out: SchedulerOutput) -> None:
+        """Every running seq needs capacity for one more token."""
+        for req in list(self.running):
+            need_tokens = req.num_tokens + 1
+            need_blocks = (-(-need_tokens // self.cfg.block_size)
+                           - len(req.block_ids))
+            if need_blocks <= 0:
+                continue
+            if not self._reclaim(need_blocks, victim_exempt=req, out=out):
+                # could not free enough even with preemption: preempt req itself
+                self._preempt(req, out)
+                continue
+            req.block_ids.extend(self.allocator.allocate(need_blocks))
+
+    def _reclaim(self, need_blocks: int, victim_exempt: Request,
+                 out: SchedulerOutput) -> bool:
+        """Preempt running requests (lowest priority, youngest first) until
+        `need_blocks` are free."""
+        while self.allocator.num_free < need_blocks:
+            victims = [r for r in self.running if r is not victim_exempt]
+            if not victims:
+                return False
+            victims.sort(key=Request.sort_key)
+            self._preempt(victims[-1], out)
+        return True
+
+    def _preempt(self, req: Request, out: SchedulerOutput) -> None:
+        self.allocator.free(req.block_ids)
+        req.block_ids = []
+        # recompute-from-scratch restart: generated tokens are folded into
+        # the prompt so decode resumes where it left off
+        req.prompt_token_ids = req.all_token_ids
+        req.output_token_ids = []
+        req.num_computed_tokens = 0
+        if req.slot is not None:
+            self._free_slots.append(req.slot)
+            req.slot = None
+        if req in self.running:
+            self.running.remove(req)
+        req.status = RequestStatus.PREEMPTED
+        self.waiting.append(req)
+        self.waiting.sort(key=Request.sort_key)
+        out.preempted.append(req)
+
+    # ---- state transitions driven by the engine ---------------------------
+
+    def on_prefill_progress(self, req: Request, length: int) -> None:
+        req.num_computed_tokens += length
+        if req.prefill_done:
+            self.waiting.remove(req)
+            req.status = RequestStatus.RUNNING
+            req.slot = self._free_slots.pop()
+            self.running.append(req)
+
+    def finish(self, req: Request, status: RequestStatus) -> None:
+        self._finish(req, status)
+        if req in self.running:
+            self.running.remove(req)
+        if req in self.waiting:
+            self.waiting.remove(req)
+
+    def _finish(self, req: Request, status: RequestStatus) -> None:
+        import time as _t
+        req.status = status
+        req.finish_time = _t.monotonic()
+        if req.block_ids:
+            self.allocator.free(req.block_ids)
+            req.block_ids = []
+        if req.slot is not None:
+            self._free_slots.append(req.slot)
+            req.slot = None

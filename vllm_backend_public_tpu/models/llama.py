@@ -1,0 +1,132 @@
+"""Llama-family decoder (Llama 1/2/3, TinyLlama, Mistral, Qwen2) in pure JAX.
+
+One `lax.scan` over stacked layer parameters; paged KV cache throughout.
+Covers the dense model families the reference system deploys via vLLM
+(reference configs: Qwen2-1.5B at benchmark-vllm/configs/vllm_config.yaml,
+TinyLlama in test scenarios) — built TPU-native, not ported.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..loader.hf import ModelConfig
+from .common import (AttnInputs, KVCache, attention_block, rms_norm,
+                     rope_cos_sin)
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    """tokens: [B, T] -> hidden states [B, T, H], updated KVCache."""
+    x = params["embed"][tokens]  # [B, T, H]
+    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
+
+    layers = params["layers"]
+
+    def body(x, per_layer):
+        layer, k_pages, v_pages = per_layer
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        a, k_pages, v_pages = attention_block(
+            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl)
+        x = x + a
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+        gate = jax.nn.silu(h @ layer["wg"])
+        up = h @ layer["wu"]
+        x = x + (gate * up) @ layer["wd"]
+        return x, (k_pages, v_pages)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k=new_k, v=new_v)
+
+
+def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:
+    """hidden [..., H] -> logits [..., V] in float32."""
+    return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+
+def convert_hf_state_dict(tensors: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Map HF llama/qwen2 safetensors names -> stacked JAX pytree.
+
+    HF Linear stores weight as [out, in]; we store [in, out] so `x @ w`.
+    """
+    def get(name):
+        t = tensors[name]
+        return jnp.asarray(t, dtype=dtype)
+
+    def lin(name):
+        return get(name).T  # [in, out]
+
+    prefix = "model."
+    L = cfg.num_layers
+    layer_keys = {
+        "attn_norm": lambda i: get(f"{prefix}layers.{i}.input_layernorm.weight"),
+        "wq": lambda i: lin(f"{prefix}layers.{i}.self_attn.q_proj.weight"),
+        "wk": lambda i: lin(f"{prefix}layers.{i}.self_attn.k_proj.weight"),
+        "wv": lambda i: lin(f"{prefix}layers.{i}.self_attn.v_proj.weight"),
+        "wo": lambda i: lin(f"{prefix}layers.{i}.self_attn.o_proj.weight"),
+        "mlp_norm": lambda i: get(f"{prefix}layers.{i}.post_attention_layernorm.weight"),
+        "wg": lambda i: lin(f"{prefix}layers.{i}.mlp.gate_proj.weight"),
+        "wu": lambda i: lin(f"{prefix}layers.{i}.mlp.up_proj.weight"),
+        "wd": lambda i: lin(f"{prefix}layers.{i}.mlp.down_proj.weight"),
+    }
+    if cfg.qkv_bias:
+        layer_keys.update({
+            "bq": lambda i: get(f"{prefix}layers.{i}.self_attn.q_proj.bias"),
+            "bk": lambda i: get(f"{prefix}layers.{i}.self_attn.k_proj.bias"),
+            "bv": lambda i: get(f"{prefix}layers.{i}.self_attn.v_proj.bias"),
+        })
+
+    layers = {k: jnp.stack([fn(i) for i in range(L)]) for k, fn in layer_keys.items()}
+
+    embed = get(f"{prefix}embed_tokens.weight")  # [V, H]
+    if cfg.tie_word_embeddings or "lm_head.weight" not in tensors:
+        lm_head = embed.T
+    else:
+        lm_head = lin("lm_head.weight")
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": get(f"{prefix}norm.weight"),
+        "lm_head": lm_head,
+    }
+
+
+def init_random_params(cfg: ModelConfig, key, dtype=jnp.float32):
+    """Random-weight init (testing / benchmarks without checkpoint files)."""
+    ks = jax.random.split(key, 12)
+    h, i_sz, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+
+    def w(key, *shape, scale=None):
+        scale = scale or (1.0 / jnp.sqrt(shape[-2] if len(shape) > 1 else shape[-1]))
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "wq": w(ks[0], L, h, nh * d),
+        "wk": w(ks[1], L, h, nkv * d),
+        "wv": w(ks[2], L, h, nkv * d),
+        "wo": w(ks[3], L, nh * d, h),
+        "mlp_norm": jnp.ones((L, h), dtype),
+        "wg": w(ks[4], L, h, i_sz),
+        "wu": w(ks[5], L, h, i_sz),
+        "wd": w(ks[6], L, i_sz, h),
+    }
+    if cfg.qkv_bias:
+        layers.update({
+            "bq": jnp.zeros((L, nh * d), dtype),
+            "bk": jnp.zeros((L, nkv * d), dtype),
+            "bv": jnp.zeros((L, nkv * d), dtype),
+        })
+    embed = w(ks[7], v, h, scale=0.02)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((h,), dtype),
+        "lm_head": embed.T if cfg.tie_word_embeddings else w(ks[8], h, v),
+    }
