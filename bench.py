@@ -1,0 +1,176 @@
+"""Standard benchmark: steady-state decode throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the fraction of the hardware speed-of-light for this
+workload: decode is HBM-bandwidth-bound, so SoL step time = bytes that must
+move per step (all weights once + this step's KV traffic) / HBM bandwidth.
+The reference publishes no engine numbers (BASELINE.md — published: {}), so
+hardware SoL is the honest denominator; 1.0 would mean a perfect
+memory-bound decode loop with zero overhead.
+
+Usage: python bench.py [--model tinyllama|llama8b] [--quant int8] [--steps N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0}  # per chip
+DEFAULT_BW = 819.0
+
+
+def flagship_cfg(name):
+    from vllm_backend_public_tpu.loader.hf import parse_hf_config
+    shapes = {
+        "tinyllama": dict(hidden_size=2048, intermediate_size=5632,
+                          num_hidden_layers=22, num_attention_heads=32,
+                          num_key_value_heads=4, vocab_size=32000),
+        "llama8b": dict(hidden_size=4096, intermediate_size=14336,
+                        num_hidden_layers=32, num_attention_heads=32,
+                        num_key_value_heads=8, vocab_size=128256,
+                        head_dim=128),
+    }
+    return parse_hf_config({
+        "architectures": ["LlamaForCausalLM"],
+        "max_position_embeddings": 4096, "rms_norm_eps": 1e-5,
+        "rope_theta": 500000.0, **shapes[name]})
+
+
+def random_params_on_device(cfg, quant):
+    """Random weights for perf benchmarking, built leaf-by-leaf directly on
+    the device (a 16 GB bf16 8B model can't be staged whole, and host-side
+    RNG for 8e9 params takes minutes on 2 vCPUs)."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_backend_public_tpu.ops.linear import QuantizedWeight
+
+    h, i_sz, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, d, L = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                     cfg.num_layers)
+    key = jax.random.PRNGKey(0)
+
+    def w(shape):
+        nonlocal key
+        key, k = jax.random.split(key)
+        fan_in = shape[-2] if len(shape) > 1 else shape[-1]
+        if quant in ("int8", "w8a8"):
+            q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+            s = jnp.full(shape[:-2] + shape[-1:],
+                         1.0 / (127 * fan_in ** 0.5), jnp.float32)
+            return QuantizedWeight("int8", q, s)
+        if quant == "fp8":
+            q = (jax.random.normal(k, shape, dtype=jnp.bfloat16)
+                 * 100).astype(jnp.float8_e4m3fn)
+            s = jnp.full(shape[:-2] + shape[-1:],
+                         1.0 / (100 * fan_in ** 0.5), jnp.float32)
+            return QuantizedWeight("fp8", q, s)
+        if quant == "int4":
+            g = min(128, shape[-2])
+            q = jax.random.randint(k, shape, -8, 8, dtype=jnp.int8)
+            s = jnp.full(shape[:-2] + (shape[-2] // g,) + shape[-1:],
+                         1.0 / (7 * fan_in ** 0.5), jnp.float32)
+            return QuantizedWeight("int4", q, s, g)
+        return (jax.random.normal(k, shape, dtype=jnp.bfloat16)
+                / fan_in ** 0.5)
+
+    def dense(shape, scale=0.02):
+        nonlocal key
+        key, k = jax.random.split(key)
+        return jax.random.normal(k, shape, dtype=jnp.bfloat16) * scale
+
+    layers = {
+        "attn_norm": jnp.ones((L, h), jnp.bfloat16),
+        "wq": w((L, h, nh * d)), "wk": w((L, h, nkv * d)),
+        "wv": w((L, h, nkv * d)), "wo": w((L, nh * d, h)),
+        "mlp_norm": jnp.ones((L, h), jnp.bfloat16),
+        "wg": w((L, h, i_sz)), "wu": w((L, h, i_sz)),
+        "wd": w((L, i_sz, h)),
+    }
+    return {"embed": dense((v, h)), "layers": layers,
+            "final_norm": jnp.ones((h,), jnp.bfloat16),
+            "lm_head": w((h, v))}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="llama8b")
+    ap.add_argument("--quant", default="int8",
+                    choices=["none", "int8", "fp8", "int4"])
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--max-model-len", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+    from vllm_backend_public_tpu.models import llama as jl
+
+    cfg = flagship_cfg(args.model)
+    quant = None if args.quant in (None, "none") else args.quant
+    params = random_params_on_device(cfg, quant)
+
+    B = args.batch
+    mb = args.max_model_len // 16
+    econ = EngineConfig(
+        model=args.model, dtype="bfloat16", quantization=quant,
+        block_size=16, max_num_seqs=B, max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.prompt_len,
+        num_kv_blocks=B * mb + 1)
+    engine = LLMEngine(econ, model_cfg=cfg, params=params)
+
+    rng = np.random.default_rng(0)
+    sp = SamplingParams(max_tokens=args.steps + 8, temperature=0.0,
+                        ignore_eos=True)
+    for _ in range(B):
+        engine.add_request(
+            rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(), sp)
+
+    # run prefills + warm the decode program
+    while engine.scheduler.num_waiting:
+        engine.step()
+    for _ in range(4):
+        engine.step()
+
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(args.steps):
+        outs = engine.step()
+        done += sum(len(o.new_token_ids) for o in outs)
+    dt = time.perf_counter() - t0
+    toks_per_s = done / dt
+
+    # speed-of-light: weights read once per step + KV read for current ctx
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(params))
+    ctx = args.prompt_len + args.steps // 2
+    kv_bytes = (cfg.num_layers * 2 * cfg.num_kv_heads * cfg.head_dim
+                * jnp.dtype(engine.econfig.kv_jnp_dtype()).itemsize
+                * ctx * B)
+    kind = jax.devices()[0].device_kind
+    bw = HBM_GBPS.get(kind, DEFAULT_BW) * 1e9
+    sol_step = (param_bytes + kv_bytes) / bw
+    sol_toks = B / sol_step
+
+    print(json.dumps({
+        "metric": f"decode_tokens_per_sec_per_chip_"
+                  f"{args.model}_{quant or 'bf16'}_b{B}",
+        "value": round(toks_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(toks_per_s / sol_toks, 4),
+    }))
+    print(f"# step={dt / args.steps * 1e3:.2f} ms  sol_step="
+          f"{sol_step * 1e3:.2f} ms  device={kind}  "
+          f"params={param_bytes / 1e9:.2f} GB", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_dryrun_multichip(eight_cpu_devices):
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_tp_matches_single_device(eight_cpu_devices):
+    """TP-sharded forward == unsharded forward (same math, different layout)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fixtures import tiny_llama_jax
+    from vllm_backend_public_tpu.models import llama as jl
+    from vllm_backend_public_tpu.models.common import AttnInputs, init_kv_cache
+    from vllm_backend_public_tpu.parallel.mesh import make_mesh
+    from vllm_backend_public_tpu.parallel.sharding import shard_params
+
+    cfg, params, _ = tiny_llama_jax(num_kv_heads=4)
+    T = 12
+    tokens = jnp.arange(T, dtype=jnp.int32)[None, :] % cfg.vocab_size
+    attn = AttnInputs(
+        block_tables=jnp.array([[1, 2]], dtype=jnp.int32),
+        kv_lens=jnp.array([T], dtype=jnp.int32),
+        positions=jnp.arange(T, dtype=jnp.int32)[None, :],
+        write_mask=jnp.ones((1, T), bool))
+
+    def run(params, cache):
+        h, _ = jl.forward_hidden(params, cfg, tokens, attn, cache)
+        return jl.logits_from_hidden(params, h)
+
+    cache0 = init_kv_cache(cfg, num_blocks=4, block_size=8, dtype=jnp.float32)
+    ref = jax.jit(run)(params, cache0)
+
+    mesh = make_mesh(tensor_parallel=4, data_parallel=2)
+    sharded = shard_params(params, mesh, cfg)
+    cache1 = init_kv_cache(cfg, num_blocks=4, block_size=8, dtype=jnp.float32)
+    out = jax.jit(run)(sharded, cache1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

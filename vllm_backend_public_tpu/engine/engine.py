@@ -48,6 +48,9 @@ class LLMEngine:
             from ..loader.safetensors import load_model
             model_cfg, params = load_model(econfig.model,
                                            dtype=econfig.jnp_dtype())
+            if econfig.quantization:
+                from ..ops.quant import quantize_params
+                params = quantize_params(params, econfig.quantization)
         assert model_cfg is not None
         self.model_cfg = model_cfg
         self.params = params
@@ -88,6 +91,10 @@ class LLMEngine:
         }
         # on-device output-token counts for penalties
         self._counts = jnp.zeros((B, model_cfg.vocab_size), dtype=jnp.int32)
+        # device-resident decode state (tokens/kv_lens/bt/active/samp);
+        # re-uploaded from the host mirrors only when invalidated
+        self._dev = None
+        self._bt_len = np.zeros((B,), dtype=np.int64)
 
         self._requests: Dict[str, Request] = {}
         self._build_device_fns()
@@ -125,24 +132,38 @@ class LLMEngine:
         impl = self.attn_impl
         B = self._B
 
-        def decode_step(params, cache, counts, tokens, positions,
-                        block_tables, kv_lens, active, samp):
+        def decode_step(params, cache, counts, tokens, kv_lens,
+                        block_tables, active, samp, greedy_only):
+            # positions of the new tokens == current kv_lens; attention sees
+            # kv_lens+1 (the new token's KV is written before the gather)
+            positions = kv_lens
+            attn_lens = kv_lens + active.astype(jnp.int32)
             attn = AttnInputs(
-                block_tables=block_tables, kv_lens=kv_lens,
+                block_tables=block_tables, kv_lens=attn_lens,
                 positions=positions[:, None], write_mask=active[:, None])
             hidden, cache = fwd(params, cfg, tokens[:, None], attn, cache,
                                 attn_impl=impl)
             logits = logits_fn(params, hidden[:, 0])  # [B, V] fp32
-            logits = apply_penalties(logits, counts, samp["presence"],
-                                     samp["frequency"], samp["repetition"])
-            toks = sample(logits, seeds=samp["seeds"], steps=samp["steps"],
-                          temperature=samp["temperature"], top_k=samp["top_k"],
-                          top_p=samp["top_p"], min_p=samp["min_p"])
+            if greedy_only:
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = apply_penalties(logits, counts, samp["presence"],
+                                         samp["frequency"],
+                                         samp["repetition"])
+                toks = sample(logits, seeds=samp["seeds"],
+                              steps=samp["steps"],
+                              temperature=samp["temperature"],
+                              top_k=samp["top_k"], top_p=samp["top_p"],
+                              min_p=samp["min_p"])
             toks = jnp.where(active, toks, 0)
-            counts = counts.at[jnp.arange(B), toks].add(active.astype(jnp.int32))
-            return toks, cache, counts
+            counts = counts.at[jnp.arange(B), toks].add(
+                active.astype(jnp.int32))
+            new_kv_lens = kv_lens + active.astype(jnp.int32)
+            new_steps = samp["steps"] + active.astype(jnp.int32)
+            return toks, cache, counts, new_kv_lens, new_steps
 
-        self._decode_fn = jax.jit(decode_step, donate_argnums=(1, 2))
+        self._decode_fn = jax.jit(decode_step, donate_argnums=(1, 2),
+                                  static_argnames=("greedy_only",))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
                          kv_len, write_mask, last_idx):
@@ -215,6 +236,8 @@ class LLMEngine:
             if r is req:
                 self._slot_req[s] = None
                 self._active[s] = False
+                self._bt_len[s] = 0
+                self._dev = None
 
     def _run_prefill(self, plan) -> Optional[RequestOutput]:
         req, start, length, bucket = (plan.request, plan.start, plan.length,
@@ -266,31 +289,53 @@ class LLMEngine:
         self._active[slot] = True
         self._bt[slot, :] = 0
         self._bt[slot, :len(req.block_ids)] = req.block_ids
+        self._bt_len[slot] = len(req.block_ids)
         self._kv_lens[slot] = req.num_prompt_tokens
         self._last[slot] = tok
+        self._dev = None
 
         return self._emit(req, [tok])
+
+    def _upload_dev_state(self) -> None:
+        active_slots = [s for s in range(self._B) if self._active[s]]
+        greedy = all(self._samp["temperature"][s] == 0.0
+                     for s in active_slots)
+        self._dev = {
+            "tokens": jnp.asarray(self._last),
+            "kv_lens": jnp.asarray(self._kv_lens),
+            "bt": jnp.asarray(self._bt),
+            "active": jnp.asarray(self._active),
+            "samp": {k: jnp.asarray(v) for k, v in self._samp.items()},
+            "greedy": greedy,
+        }
 
     def _run_decode(self, plan) -> List[RequestOutput]:
         # refresh block tables (scheduler may have appended blocks)
         for req in plan.requests:
             s = req.slot
-            self._bt[s, :len(req.block_ids)] = req.block_ids
+            if len(req.block_ids) != self._bt_len[s]:
+                self._bt[s, :len(req.block_ids)] = req.block_ids
+                self._bt_len[s] = len(req.block_ids)
+                self._dev = None
+        if self._dev is None:
+            self._upload_dev_state()
+        dev = self._dev
 
-        positions = self._kv_lens.copy()
-        kv_lens_attn = self._kv_lens + self._active.astype(np.int32)
-        samp = {k: jnp.asarray(v) for k, v in self._samp.items()}
-        toks, self.cache, self._counts = self._decode_fn(
-            self.params, self.cache, self._counts,
-            jnp.asarray(self._last), jnp.asarray(positions),
-            jnp.asarray(self._bt), jnp.asarray(kv_lens_attn),
-            jnp.asarray(self._active), samp)
-        toks = np.asarray(jax.device_get(toks))
+        toks, self.cache, self._counts, new_kv_lens, new_steps = \
+            self._decode_fn(self.params, self.cache, self._counts,
+                            dev["tokens"], dev["kv_lens"], dev["bt"],
+                            dev["active"], dev["samp"],
+                            greedy_only=dev["greedy"])
+        # device state advances in place; host mirrors track it
+        dev["tokens"] = toks
+        dev["kv_lens"] = new_kv_lens
+        dev["samp"]["steps"] = new_steps
+        toks_host = np.asarray(jax.device_get(toks))
 
         outputs = []
         for req in plan.requests:
             s = req.slot
-            tok = int(toks[s])
+            tok = int(toks_host[s])
             req.output_token_ids.append(tok)
             self._kv_lens[s] += 1
             self._last[s] = tok
@@ -323,6 +368,8 @@ class LLMEngine:
             if slot is not None:
                 self._active[slot] = False
                 self._slot_req[slot] = None
+                self._bt_len[slot] = 0
+                self._dev = None
             del self._requests[req.request_id]
         return RequestOutput(
             request_id=req.request_id,

@@ -26,12 +26,17 @@ import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
+from ..ops.linear import matmul
 
 
 class KVCache(NamedTuple):
     """Paged KV cache for all layers.
 
-    k, v: [num_layers, num_blocks, block_size, num_kv_heads, head_dim]
+    k, v: [num_layers, num_blocks, num_kv_heads, block_size, head_dim]
+
+    One page = [num_kv_heads, block_size, head_dim] is contiguous in HBM so
+    the Pallas decode kernel fetches a sequence's page (all kv heads) in a
+    single DMA; trailing dims (block_size, head_dim) satisfy TPU tiling.
     """
 
     k: jax.Array
@@ -39,7 +44,7 @@ class KVCache(NamedTuple):
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def num_blocks(self) -> int:
@@ -48,7 +53,8 @@ class KVCache(NamedTuple):
 
 def init_kv_cache(cfg: ModelConfig, num_blocks: int, block_size: int,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size,
+             cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -103,23 +109,21 @@ def write_kv_layer(k_pages: jax.Array, v_pages: jax.Array,
                    slot_ids: jax.Array, write_mask: jax.Array):
     """Scatter new K/V into one layer's page pool.
 
-    k_pages/v_pages: [NB, BS, NKV, D]; k_new/v_new: [B, T, NKV, D];
+    k_pages/v_pages: [NB, NKV, BS, D]; k_new/v_new: [B, T, NKV, D];
     slot_ids: [B, T] global slots; write_mask: [B, T] bool (padding-safe).
+    Masked writes get an out-of-range block so the scatter drops them.
     """
-    nb, bs, nkv, d = k_pages.shape
-    flat_k = k_pages.reshape(nb * bs, nkv, d)
-    flat_v = v_pages.reshape(nb * bs, nkv, d)
+    nb, nkv, bs, d = k_pages.shape
     slots = slot_ids.reshape(-1)
-    # Redirect masked-out writes to a scratch slot? Instead clamp to slot 0 and
-    # use scatter with dropped updates: set invalid slots to an out-of-range
-    # index so XLA drops them.
-    oob = nb * bs  # out-of-bounds sentinel -> dropped by scatter (mode=drop)
-    slots = jnp.where(write_mask.reshape(-1), slots, oob)
-    kn = k_new.reshape(-1, nkv, d).astype(flat_k.dtype)
-    vn = v_new.reshape(-1, nkv, d).astype(flat_v.dtype)
-    flat_k = flat_k.at[slots].set(kn, mode="drop")
-    flat_v = flat_v.at[slots].set(vn, mode="drop")
-    return flat_k.reshape(nb, bs, nkv, d), flat_v.reshape(nb, bs, nkv, d)
+    blk = slots // bs
+    off = slots % bs
+    blk = jnp.where(write_mask.reshape(-1), blk, nb)  # oob -> dropped
+    kn = k_new.reshape(-1, nkv, d).astype(k_pages.dtype)
+    vn = v_new.reshape(-1, nkv, d).astype(v_pages.dtype)
+    # advanced indices on dims 0 and 2 -> updates [N, NKV, D]
+    k_pages = k_pages.at[blk, :, off].set(kn, mode="drop")
+    v_pages = v_pages.at[blk, :, off].set(vn, mode="drop")
+    return k_pages, v_pages
 
 
 def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
@@ -127,27 +131,24 @@ def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                         q_positions: jax.Array, scale: float) -> jax.Array:
     """Reference paged attention via gather (exact, XLA-only).
 
-    q: [B, T, NH, D] (already includes RoPE); k_pages/v_pages: [NB, BS, NKV, D];
+    q: [B, T, NH, D] (already includes RoPE); k_pages/v_pages: [NB, NKV, BS, D];
     block_tables: [B, MB]; kv_lens: [B] (valid cache length incl. new tokens);
     q_positions: [B, T] global positions of the query tokens.
     Returns [B, T, NH, D].
     """
     b, t, nh, d = q.shape
-    nb, bs, nkv, _ = k_pages.shape
+    nb, nkv, bs, _ = k_pages.shape
     mb = block_tables.shape[1]
     ctx = mb * bs
     g = nh // nkv
 
-    flat_k = k_pages.reshape(nb * bs, nkv, d)
-    flat_v = v_pages.reshape(nb * bs, nkv, d)
-    idx = (block_tables[:, :, None] * bs
-           + jnp.arange(bs, dtype=block_tables.dtype)[None, None, :]).reshape(b, ctx)
-    k = flat_k[idx]  # [B, CTX, NKV, D]
-    v = flat_v[idx]
+    # [B, MB, NKV, BS, D] -> [B, NKV, CTX, D]
+    k = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
+    v = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
 
     qg = q.reshape(b, t, nkv, g, d)
     # scores: [B, NKV, G, T, CTX]
-    scores = jnp.einsum("btkgd,bckd->bkgtc", qg.astype(jnp.float32),
+    scores = jnp.einsum("btkgd,bkcd->bkgtc", qg.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
     kv_pos = jnp.arange(ctx, dtype=jnp.int32)[None, :]  # [1, CTX]
     valid = kv_pos < kv_lens[:, None]  # [B, CTX]
@@ -158,7 +159,7 @@ def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     # guard fully-masked rows (padding queries): softmax(-inf row) -> nan
     probs = jnp.where(jnp.any(mask[:, None, None, :, :], axis=-1, keepdims=True),
                       probs, 0.0)
-    out = jnp.einsum("bkgtc,bckd->btkgd", probs, v.astype(jnp.float32))
+    out = jnp.einsum("bkgtc,bkcd->btkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, t, nh, d).astype(q.dtype)
 
 
@@ -180,9 +181,9 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = x @ layer["wq"]
-    k = x @ layer["wk"]
-    v = x @ layer["wv"]
+    q = matmul(x, layer["wq"])
+    k = matmul(x, layer["wk"])
+    v = matmul(x, layer["wv"])
     if "bq" in layer:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -195,8 +196,9 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+    # per-layer pages are [NB, NKV, BS, D]
     slot_ids = slot_ids_from_positions(attn.block_tables, attn.positions,
-                                       k_pages.shape[1])
+                                       k_pages.shape[2])
     k_pages, v_pages = write_kv_layer(k_pages, v_pages, k, v, slot_ids,
                                       attn.write_mask)
 
@@ -209,7 +211,7 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         out = paged_attention_xla(q, k_pages, v_pages, attn.block_tables,
                                   attn.kv_lens, attn.positions, scale)
 
-    out = out.reshape(b, t, nh * d) @ layer["wo"]
+    out = matmul(out.reshape(b, t, nh * d), layer["wo"])
     if "bo" in layer:
         out = out + layer["bo"]
     return out, k_pages, v_pages

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
+from ..ops.linear import matmul
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin)
 
@@ -34,9 +35,9 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
             h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl)
         x = x + a
         h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-        gate = jax.nn.silu(h @ layer["wg"])
-        up = h @ layer["wu"]
-        x = x + (gate * up) @ layer["wd"]
+        gate = jax.nn.silu(matmul(h, layer["wg"]))
+        up = matmul(h, layer["wu"])
+        x = x + matmul(gate * up, layer["wd"])
         return x, (k_pages, v_pages)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
@@ -46,7 +47,7 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:
     """hidden [..., H] -> logits [..., V] in float32."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return matmul(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 def convert_hf_state_dict(tensors: dict, cfg: ModelConfig, dtype=jnp.bfloat16):

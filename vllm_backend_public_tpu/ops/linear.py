@@ -1,0 +1,82 @@
+"""Linear-op dispatch: dense or quantized weights, one call site.
+
+Model code routes every projection through `matmul(x, w)`. A weight is
+either a plain array [in, out] or a `QuantizedWeight` pytree node:
+
+  kind="int8": q int8 [.., in, out],  s f32 [.., out]     (per-out-channel)
+  kind="fp8" : q f8e4m3 [.., in, out], s f32 [.., out]
+  kind="int4": q int8 in [-8,7] [.., in, out], s f32 [.., in/G, out], G static
+
+QuantizedWeight registers q/s as pytree children and kind/g as static aux
+data, so stacked [L, ...] quantized layers slice cleanly through lax.scan
+and shard through GSPMD like any other param leaf.
+
+Weight-only schemes dequantize into the MXU feed (XLA fuses the cast, so
+HBM traffic is the quantized bytes — the win on a bandwidth-bound decode).
+The reference exposes this capability only as vLLM's --quantization flag
+(reference: benchmark-vllm/vllm_templates.py:75-76,
+configs/vllm_config.yaml:36-38); here the kernels are in-repo.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedWeight:
+    def __init__(self, kind: str, q, s, g: int | None = None):
+        self.kind = kind
+        self.q = q
+        self.s = s
+        self.g = g
+
+    def tree_flatten(self):
+        return (self.q, self.s), (self.kind, self.g)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, g = aux
+        q, s = children
+        return cls(kind, q, s, g)
+
+    def __repr__(self):
+        qs = getattr(self.q, "shape", None)
+        return f"QuantizedWeight({self.kind}, q{qs}, g={self.g})"
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, QuantizedWeight)
+
+
+def matmul(x: jax.Array, w) -> jax.Array:
+    """x: [..., in] @ w -> [..., out]; dense or quantized."""
+    if not is_quantized(w):
+        return x @ w
+    if w.kind in ("int8", "fp8"):
+        y = jnp.dot(x, w.q.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w.s).astype(x.dtype)
+    if w.kind == "int4":
+        return _int4_matmul(x, w)
+    raise ValueError(f"unknown quant kind {w.kind}")
+
+
+def _int4_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:
+    """Group-quantized INT4 (AWQ-style): per-(input-group, out-col) scales.
+
+    q holds unpacked int4 values in int8 storage (bit-packed storage is an
+    HBM-layout concern for the Pallas kernel path; the XLA path keeps
+    unpacked int8 for correctness)."""
+    g = w.g
+    in_dim = x.shape[-1]
+    ng = in_dim // g
+    out = w.q.shape[-1]
+    qd = w.q.astype(x.dtype).reshape(ng, g, out)
+    xg = x.reshape(*x.shape[:-1], ng, g)
+    # partial sums per group, scaled per (group, out)
+    y = jnp.einsum("...ng,ngo->...no", xg, qd,
+                   preferred_element_type=jnp.float32)
+    y = (y * w.s).sum(axis=-2)
+    return y.astype(x.dtype)

@@ -1,0 +1,59 @@
+"""Device mesh construction for TPU slices.
+
+Replaces the reference's NCCL/Ray world-size plumbing
+(`--tensor-parallel-size`/`--pipeline-parallel-size` passthrough at
+reference benchmark-vllm/vllm_templates.py:55-56 and
+`--disable-custom-all-reduce`, models.py:23-28) with a jax.sharding.Mesh:
+XLA compiles collectives onto ICI within a slice and DCN across slices;
+there is no separate comm library to configure.
+
+Axis convention (order matters — outermost varies slowest over DCN):
+  ("data", "expert", "model")
+- "model": tensor parallelism, innermost => rides ICI.
+- "expert": expert parallelism for MoE (1 for dense models).
+- "data": engine-replica data parallelism; decode batch + KV pool shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXES = ("data", "expert", "model")
+
+
+def make_mesh(tensor_parallel: int = 1, data_parallel: int = 1,
+              expert_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = tensor_parallel * data_parallel * expert_parallel
+    if need > len(devices):
+        raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+    devices = devices[:need]
+    arr = np.array(devices).reshape(data_parallel, expert_parallel,
+                                    tensor_parallel)
+    return Mesh(arr, AXES)
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(1, 1, 1)
+
+
+def multihost_initialize(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host runtime bring-up (one process per host on a pod slice).
+
+    The TPU analog of vLLM's Ray/multiprocessing worker bootstrap
+    (reference passthrough: worker-use-ray at
+    benchmark-vllm/configs/test_small_model.yaml:25). On Cloud TPU the
+    arguments are discovered from the environment automatically.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs.update(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -1,0 +1,111 @@
+"""GSPMD partition specs for model params, KV cache, and engine step I/O.
+
+Megatron-style tensor parallelism expressed declaratively: column-shard the
+up projections, row-shard the down projections, and let XLA insert the
+all-reduces on ICI (the TPU equivalent of vLLM's NCCL custom all-reduce,
+which the reference toggles via --disable-custom-all-reduce,
+reference benchmark-vllm/vllm_templates.py:62).
+
+The KV cache pages shard over the "model" axis on the kv-head dimension
+(each TP shard holds its heads' pages) and over "data" on the page-pool
+dimension (each DP replica owns a slice of the pool).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..loader.hf import ModelConfig
+
+
+def llama_param_specs(cfg: ModelConfig) -> Dict:
+    """PartitionSpec pytree matching models/llama.py's param layout."""
+    layers = {
+        "attn_norm": P(None, None),
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+        "mlp_norm": P(None, None),
+        "wg": P(None, None, ("expert", "model")),
+        "wu": P(None, None, ("expert", "model")),
+        "wd": P(None, ("expert", "model"), None),
+    }
+    if cfg.qkv_bias:
+        layers.update({"bq": P(None, "model"), "bk": P(None, "model"),
+                       "bv": P(None, "model")})
+    return {
+        "embed": P(None, None),
+        "layers": layers,
+        "final_norm": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+def mixtral_param_specs(cfg: ModelConfig) -> Dict:
+    specs = llama_param_specs(cfg)
+    layers = specs["layers"]
+    for k in ("wg", "wu", "wd"):
+        del layers[k]
+    layers.update({
+        "router": P(None, None, None),
+        # expert weights: [L, E, H, I] — experts over "expert", I over "model"
+        "we_gate": P(None, "expert", None, "model"),
+        "we_up": P(None, "expert", None, "model"),
+        "we_down": P(None, "expert", "model", None),
+    })
+    return specs
+
+
+def kv_cache_spec() -> P:
+    # [L, num_blocks, num_kv_heads, block_size, head_dim]
+    return P(None, "data", "model", None, None)
+
+
+def param_specs(cfg: ModelConfig) -> Dict:
+    if cfg.arch in ("llama", "qwen2"):
+        return llama_param_specs(cfg)
+    if cfg.arch == "mixtral":
+        return mixtral_param_specs(cfg)
+    if cfg.arch == "gpt2":
+        return gpt2_param_specs(cfg)
+    raise ValueError(cfg.arch)
+
+
+def gpt2_param_specs(cfg: ModelConfig) -> Dict:
+    return {
+        "embed": P(None, None),
+        "pos_embed": P(None, None),
+        "layers": {
+            "ln1_w": P(None, None), "ln1_b": P(None, None),
+            "ln2_w": P(None, None), "ln2_b": P(None, None),
+            "wq": P(None, None, "model"), "bq": P(None, "model"),
+            "wk": P(None, None, "model"), "bk": P(None, "model"),
+            "wv": P(None, None, "model"), "bv": P(None, "model"),
+            "wo": P(None, "model", None), "bo": P(None, None),
+            "w_fc": P(None, None, "model"), "b_fc": P(None, "model"),
+            "w_proj": P(None, "model", None), "b_proj": P(None, None),
+        },
+        "final_norm_w": P(None), "final_norm_b": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place a param pytree onto the mesh with the family's specs."""
+    specs = param_specs(cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, P))
+
+
+def decode_in_specs():
+    """Shardings for decode-step inputs (tokens, positions, bt, kv_lens,
+    active): batch over 'data'."""
+    return dict(tokens=P("data"), positions=P("data"),
+                block_tables=P("data", None), kv_lens=P("data"),
+                active=P("data"))

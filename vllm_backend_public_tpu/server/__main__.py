@@ -1,0 +1,131 @@
+"""Engine server CLI.
+
+The in-repo replacement for the external `vllm/vllm-openai` image the
+reference deploys: flags mirror the vLLM arg surface the reference
+assembles (reference: benchmark-vllm/vllm_templates.py:50-87 — model,
+served-model-name, block-size, max-num-seqs, max-model-len, dtype,
+quantization, tensor/pipeline-parallel sizes).
+
+  python -m vllm_backend_public_tpu.server --model /path/to/hf_dir --port 8000
+  python -m vllm_backend_public_tpu.server --demo --port 8000   # tiny random model
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, Optional, Sequence
+
+
+class ByteTokenizer:
+    """Dependency-free byte-level tokenizer for --demo and tests."""
+
+    eos_token_id = 0
+    hf = None
+    chat_template = None
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        return [b + 1 for b in text.encode("utf-8")]
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True):
+        # demo vocab can exceed 256; fold sampled ids onto the byte range
+        return bytes((i - 1) % 256 for i in ids if i > 0).decode(
+            "utf-8", errors="replace")
+
+
+class _ByteDetokCompat:
+    """Adapter so IncrementalDetokenizer can call .hf.decode on ByteTokenizer."""
+
+    def __init__(self, outer):
+        self._outer = outer
+
+    def decode(self, ids, skip_special_tokens=True):
+        return self._outer.decode(ids)
+
+
+def build_demo_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.config import EngineConfig
+    from ..engine.engine import LLMEngine
+    from ..loader.hf import parse_hf_config
+    from ..models.llama import init_random_params
+
+    cfg = parse_hf_config({
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 512,
+        "hidden_size": 128, "intermediate_size": 256, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "max_position_embeddings": 2048, "rms_norm_eps": 1e-5,
+        "eos_token_id": 0})
+    dtype = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+    params = init_random_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    econ = EngineConfig(
+        model="demo", served_model_name=args.served_model_name or "demo",
+        dtype="float32" if dtype == jnp.float32 else "bfloat16",
+        block_size=args.block_size, max_num_seqs=args.max_num_seqs,
+        max_model_len=min(args.max_model_len, 512),
+        num_kv_blocks=args.max_num_seqs * 40 + 1)
+    tok = ByteTokenizer()
+    tok.hf = _ByteDetokCompat(tok)
+    return LLMEngine(econ, model_cfg=cfg, params=params, tokenizer=tok), tok
+
+
+def build_engine(args):
+    from ..engine.config import EngineConfig
+    from ..engine.engine import LLMEngine
+    from ..engine.tokenizer import Tokenizer
+
+    econ = EngineConfig(
+        model=args.model, served_model_name=args.served_model_name,
+        dtype=args.dtype, quantization=args.quantization,
+        kv_cache_dtype=args.kv_cache_dtype,
+        block_size=args.block_size, max_num_seqs=args.max_num_seqs,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.max_num_batched_tokens,
+        hbm_utilization=args.hbm_utilization,
+        tensor_parallel_size=args.tensor_parallel_size,
+        data_parallel_size=args.data_parallel_size)
+    tok = Tokenizer.from_path(args.model)
+    return LLMEngine(econ, tokenizer=tok), tok
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("vllm-backend-public-tpu server")
+    ap.add_argument("--model", default=None, help="HF model directory")
+    ap.add_argument("--demo", action="store_true",
+                    help="serve a tiny random-weight model (no files needed)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--served-model-name", default=None)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quantization", default=None)
+    ap.add_argument("--kv-cache-dtype", default=None)
+    ap.add_argument("--block-size", type=int, default=16)
+    ap.add_argument("--max-num-seqs", type=int, default=8)
+    ap.add_argument("--max-model-len", type=int, default=2048)
+    ap.add_argument("--max-num-batched-tokens", type=int, default=512)
+    ap.add_argument("--hbm-utilization", type=float, default=0.9)
+    ap.add_argument("--tensor-parallel-size", type=int, default=1)
+    ap.add_argument("--data-parallel-size", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    if not args.demo and not args.model:
+        ap.error("--model or --demo required")
+
+    engine, tok = (build_demo_engine(args) if args.demo
+                   else build_engine(args))
+
+    from aiohttp import web
+
+    from .async_engine import AsyncEngineRunner
+    from .openai_api import OpenAIServer
+
+    runner = AsyncEngineRunner(engine)
+    server = OpenAIServer(runner, tok, engine.econfig.served_model_name)
+    web.run_app(server.build_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()
