@@ -1,0 +1,119 @@
+"""GPT-2 family decoder (covers DialoGPT, the reference's CPU test model —
+reference: benchmark-vllm/configs/vllm_config_macos.yaml uses
+microsoft/DialoGPT-small).
+
+Learned position embeddings, pre-LN blocks with biases, gelu MLP, tied
+lm_head. Same paged-KV attention core as the llama family.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..loader.hf import ModelConfig
+from ..ops.linear import matmul
+from .common import AttnInputs, KVCache, attention_block, layer_norm
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    x = params["embed"][tokens] + params["pos_embed"][attn.positions]
+    layers = params["layers"]
+
+    def body(x, per_layer):
+        layer, k_pages, v_pages = per_layer
+        h = layer_norm(x, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
+        a, k_pages, v_pages = attention_block(
+            h, layer, cfg, attn, k_pages, v_pages, cos=None, sin=None,
+            attn_impl=attn_impl)
+        x = x + a
+        h = layer_norm(x, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
+        h = jax.nn.gelu(matmul(h, layer["w_fc"]) + layer["b_fc"],
+                        approximate=True)
+        x = x + matmul(h, layer["w_proj"]) + layer["b_proj"]
+        return x, (k_pages, v_pages)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x = layer_norm(x, params["final_norm_w"], params["final_norm_b"],
+                   cfg.layer_norm_eps)
+    return x, KVCache(k=new_k, v=new_v)
+
+
+def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:
+    return matmul(hidden, params["lm_head"]).astype(jnp.float32)
+
+
+def convert_hf_state_dict(tensors: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """HF gpt2 names -> stacked pytree. NB: HF GPT-2 uses Conv1D, whose
+    weight is already [in, out] — no transpose, unlike Linear."""
+    def get(name):
+        return jnp.asarray(tensors[name], dtype=dtype)
+
+    L, h = cfg.num_layers, cfg.hidden_size
+
+    def split_qkv(i):
+        w = get(f"h.{i}.attn.c_attn.weight")  # [H, 3H] (Conv1D)
+        b = get(f"h.{i}.attn.c_attn.bias")    # [3H]
+        return (w[:, :h], w[:, h:2 * h], w[:, 2 * h:],
+                b[:h], b[h:2 * h], b[2 * h:])
+
+    per = [split_qkv(i) for i in range(L)]
+    layers = {
+        "ln1_w": jnp.stack([get(f"h.{i}.ln_1.weight") for i in range(L)]),
+        "ln1_b": jnp.stack([get(f"h.{i}.ln_1.bias") for i in range(L)]),
+        "ln2_w": jnp.stack([get(f"h.{i}.ln_2.weight") for i in range(L)]),
+        "ln2_b": jnp.stack([get(f"h.{i}.ln_2.bias") for i in range(L)]),
+        "wq": jnp.stack([p[0] for p in per]),
+        "wk": jnp.stack([p[1] for p in per]),
+        "wv": jnp.stack([p[2] for p in per]),
+        "bq": jnp.stack([p[3] for p in per]),
+        "bk": jnp.stack([p[4] for p in per]),
+        "bv": jnp.stack([p[5] for p in per]),
+        "wo": jnp.stack([get(f"h.{i}.attn.c_proj.weight") for i in range(L)]),
+        "bo": jnp.stack([get(f"h.{i}.attn.c_proj.bias") for i in range(L)]),
+        "w_fc": jnp.stack([get(f"h.{i}.mlp.c_fc.weight") for i in range(L)]),
+        "b_fc": jnp.stack([get(f"h.{i}.mlp.c_fc.bias") for i in range(L)]),
+        "w_proj": jnp.stack([get(f"h.{i}.mlp.c_proj.weight")
+                             for i in range(L)]),
+        "b_proj": jnp.stack([get(f"h.{i}.mlp.c_proj.bias")
+                             for i in range(L)]),
+    }
+    embed = get("wte.weight")
+    return {
+        "embed": embed,
+        "pos_embed": get("wpe.weight"),
+        "layers": layers,
+        "final_norm_w": get("ln_f.weight"),
+        "final_norm_b": get("ln_f.bias"),
+        "lm_head": embed.T,  # tied
+    }
+
+
+def init_random_params(cfg: ModelConfig, key, dtype=jnp.float32):
+    ks = jax.random.split(key, 8)
+    L, h, i_sz, v = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
+                     cfg.vocab_size)
+
+    def w(key, *shape):
+        scale = 1.0 / jnp.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    layers = {
+        "ln1_w": jnp.ones((L, h), dtype), "ln1_b": jnp.zeros((L, h), dtype),
+        "ln2_w": jnp.ones((L, h), dtype), "ln2_b": jnp.zeros((L, h), dtype),
+        "wq": w(ks[0], L, h, h), "bq": jnp.zeros((L, h), dtype),
+        "wk": w(ks[1], L, h, h), "bk": jnp.zeros((L, h), dtype),
+        "wv": w(ks[2], L, h, h), "bv": jnp.zeros((L, h), dtype),
+        "wo": w(ks[3], L, h, h), "bo": jnp.zeros((L, h), dtype),
+        "w_fc": w(ks[4], L, h, i_sz), "b_fc": jnp.zeros((L, i_sz), dtype),
+        "w_proj": w(ks[5], L, i_sz, h), "b_proj": jnp.zeros((L, h), dtype),
+    }
+    embed = w(ks[6], v, h) * 0.3
+    return {"embed": embed, "pos_embed": w(ks[7], cfg.max_position_embeddings,
+                                           h) * 0.1,
+            "layers": layers,
+            "final_norm_w": jnp.ones((h,), dtype),
+            "final_norm_b": jnp.zeros((h,), dtype),
+            "lm_head": embed.T}

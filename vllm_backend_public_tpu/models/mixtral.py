@@ -1,0 +1,138 @@
+"""Mixtral-family sparse-MoE decoder.
+
+Top-k routed experts (BASELINE.json config #5: Mixtral-8x7B FP8
+expert-parallel). Two expert-compute paths:
+
+- "dense" (default, exact): every expert computed, gated sum. Correct for
+  any shapes, used for tests and as the XLA reference. With the expert
+  axis sharded over the mesh's "expert" axis this is also the simple EP
+  layout: each device computes its local experts for all tokens and the
+  gated sum runs as a psum — XLA inserts the collective from the sharding.
+- grouped/ragged Pallas kernel: future perf path for large E.
+
+Attention is identical to llama (GQA + RoPE + paged KV).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..loader.hf import ModelConfig
+from ..ops.linear import matmul
+from .common import (AttnInputs, KVCache, attention_block, rms_norm,
+                     rope_cos_sin)
+
+
+def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
+    """x: [B, T, H] -> [B, T, H] via top-k routed experts (dense compute)."""
+    e, k = cfg.num_experts, cfg.experts_per_token
+    router_logits = (x.astype(jnp.float32) @
+                     layer["router"].astype(jnp.float32))  # [B, T, E]
+    topv, topi = jax.lax.top_k(router_logits, k)
+    topw = jax.nn.softmax(topv, axis=-1)  # [B, T, k]
+    gates = jnp.zeros_like(router_logits).at[
+        jnp.arange(x.shape[0])[:, None, None],
+        jnp.arange(x.shape[1])[None, :, None],
+        topi].set(topw)  # [B, T, E]
+
+    ge = jnp.einsum("bth,ehi->btei", x, layer["we_gate"])
+    ue = jnp.einsum("bth,ehi->btei", x, layer["we_up"])
+    he = jax.nn.silu(ge) * ue
+    ye = jnp.einsum("btei,eih->bteh", he, layer["we_down"])
+    return jnp.einsum("bteh,bte->bth", ye, gates.astype(x.dtype))
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    x = params["embed"][tokens]
+    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
+    layers = params["layers"]
+
+    def body(x, per_layer):
+        layer, k_pages, v_pages = per_layer
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+        a, k_pages, v_pages = attention_block(
+            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl)
+        x = x + a
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+        x = x + moe_mlp(h, layer, cfg)
+        return x, (k_pages, v_pages)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k=new_k, v=new_v)
+
+
+def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:
+    return matmul(hidden, params["lm_head"]).astype(jnp.float32)
+
+
+def convert_hf_state_dict(tensors: dict, cfg: ModelConfig, dtype=jnp.bfloat16):
+    def get(name):
+        return jnp.asarray(tensors[name], dtype=dtype)
+
+    def lin(name):
+        return get(name).T
+
+    L, E = cfg.num_layers, cfg.num_experts
+    p = "model."
+
+    def experts(i, which):
+        return jnp.stack([
+            lin(f"{p}layers.{i}.block_sparse_moe.experts.{e}.{which}.weight")
+            for e in range(E)])
+
+    layers = {
+        "attn_norm": jnp.stack([get(f"{p}layers.{i}.input_layernorm.weight")
+                                for i in range(L)]),
+        "wq": jnp.stack([lin(f"{p}layers.{i}.self_attn.q_proj.weight")
+                         for i in range(L)]),
+        "wk": jnp.stack([lin(f"{p}layers.{i}.self_attn.k_proj.weight")
+                         for i in range(L)]),
+        "wv": jnp.stack([lin(f"{p}layers.{i}.self_attn.v_proj.weight")
+                         for i in range(L)]),
+        "wo": jnp.stack([lin(f"{p}layers.{i}.self_attn.o_proj.weight")
+                         for i in range(L)]),
+        "mlp_norm": jnp.stack(
+            [get(f"{p}layers.{i}.post_attention_layernorm.weight")
+             for i in range(L)]),
+        "router": jnp.stack(
+            [lin(f"{p}layers.{i}.block_sparse_moe.gate.weight")
+             for i in range(L)]),
+        "we_gate": jnp.stack([experts(i, "w1") for i in range(L)]),
+        "we_up": jnp.stack([experts(i, "w3") for i in range(L)]),
+        "we_down": jnp.stack([experts(i, "w2") for i in range(L)]),
+    }
+    embed = get(f"{p}embed_tokens.weight")
+    return {"embed": embed, "layers": layers,
+            "final_norm": get(f"{p}norm.weight"),
+            "lm_head": (embed.T if cfg.tie_word_embeddings
+                        else lin("lm_head.weight"))}
+
+
+def init_random_params(cfg: ModelConfig, key, dtype=jnp.float32):
+    ks = jax.random.split(key, 12)
+    h, i_sz, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, d, L, E = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                        cfg.num_layers, cfg.num_experts)
+
+    def w(key, *shape):
+        scale = 1.0 / jnp.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    layers = {
+        "attn_norm": jnp.ones((L, h), dtype),
+        "wq": w(ks[0], L, h, nh * d), "wk": w(ks[1], L, h, nkv * d),
+        "wv": w(ks[2], L, h, nkv * d), "wo": w(ks[3], L, nh * d, h),
+        "mlp_norm": jnp.ones((L, h), dtype),
+        "router": w(ks[4], L, h, E),
+        "we_gate": w(ks[5], L, E, h, i_sz),
+        "we_up": w(ks[6], L, E, h, i_sz),
+        "we_down": w(ks[7], L, E, i_sz, h),
+    }
+    embed = w(ks[8], v, h) * 0.3
+    return {"embed": embed, "layers": layers,
+            "final_norm": jnp.ones((h,), dtype),
+            "lm_head": w(ks[9], h, v)}

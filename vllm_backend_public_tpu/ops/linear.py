@@ -55,12 +55,29 @@ def matmul(x: jax.Array, w) -> jax.Array:
     if not is_quantized(w):
         return x @ w
     if w.kind in ("int8", "fp8"):
+        if _use_fused_kernel(x, w):
+            from .matmul_q import matmul_quantized
+            lead = x.shape[:-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            y = matmul_quantized(x2, w.q, w.s)
+            return y.reshape(*lead, w.q.shape[-1])
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.s).astype(x.dtype)
     if w.kind == "int4":
         return _int4_matmul(x, w)
     raise ValueError(f"unknown quant kind {w.kind}")
+
+
+def _use_fused_kernel(x, w) -> bool:
+    """Fused Pallas dequant+matmul needs TPU + tile-friendly shapes."""
+    if jax.default_backend() != "tpu" or w.q.ndim != 2:
+        return False
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    k, n = w.q.shape
+    return m % 8 == 0 and m <= 1024 and k % 128 == 0 and n % 128 == 0
 
 
 def _int4_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:

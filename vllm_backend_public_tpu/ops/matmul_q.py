@@ -1,0 +1,91 @@
+"""Pallas fused dequant+matmul: y = x @ dequant(W) for quantized weights.
+
+The point: on a bandwidth-bound decode step the weights must cross HBM
+exactly once at their *quantized* width. XLA's int8->bf16 convert+dot can
+materialize the dequantized matrix in HBM (3x traffic); this kernel casts
+inside VMEM on the way into the MXU.
+
+Shapes are decode-typical: x [M, K] with small M (the batch), W [K, N]
+int8/fp8 with per-output-channel scale [N]. Grid (N/bn, K/bk) with K
+innermost; fp32 accumulator in VMEM scratch; scales applied at the final
+K step. Pallas double-buffers the W tile DMAs across grid steps
+automatically.
+
+This is the in-repo replacement for the CUDA dequant GEMMs behind vLLM's
+--quantization flag (reference: benchmark-vllm/vllm_templates.py:75-76).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _matmul_q_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]                                  # [M, bk] bf16
+    w = w_ref[:].astype(x.dtype)                  # [bk, bn] dequant in VMEM
+    acc_ref[:] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_n", "interpret"))
+def matmul_quantized(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                     block_k: int = 512, block_n: int = 512,
+                     interpret: bool = False) -> jax.Array:
+    """x [M, K] bf16/f32; w_q [K, N] int8/fp8; scale [N] f32 -> [M, N] x.dtype."""
+    m, kdim = x.shape
+    _, n = w_q.shape
+
+    def pick(block, dim):
+        for c in (block, 384, 256, 128):
+            if c <= block and dim % c == 0:
+                return c
+        return None
+
+    bk = pick(block_k, kdim)
+    bn = pick(block_n, n)
+    if bk is None or bn is None:
+        # fall back on XLA for ragged shapes
+        y = jnp.dot(x, w_q.astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * scale).astype(x.dtype)
+    n_k = kdim // bk
+
+    grid = (n // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_matmul_q_kernel, n_k=n_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * kdim * n,
+            bytes_accessed=kdim * n + m * kdim * 2 + m * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x, w_q, scale.reshape(1, n).astype(jnp.float32))
+    return out
