@@ -103,11 +103,15 @@ def main():
                     choices=["none", "int8", "fp8", "int4"])
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--prompt-len", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=256,
+                    help="total decode tokens per sequence to time")
     ap.add_argument("--max-model-len", type=int, default=1024)
+    ap.add_argument("--multi-step", type=int, default=8,
+                    help="decode steps fused per device dispatch")
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     from vllm_backend_public_tpu.engine.config import EngineConfig
     from vllm_backend_public_tpu.engine.engine import LLMEngine
@@ -124,7 +128,8 @@ def main():
         model=args.model, dtype="bfloat16", quantization=quant,
         block_size=16, max_num_seqs=B, max_model_len=args.max_model_len,
         max_num_batched_tokens=args.prompt_len,
-        num_kv_blocks=B * mb + 1)
+        num_kv_blocks=B * mb + 1,
+        decode_steps_per_call=args.multi_step)
     engine = LLMEngine(econ, model_cfg=cfg, params=params)
 
     rng = np.random.default_rng(0)
@@ -140,9 +145,10 @@ def main():
     for _ in range(4):
         engine.step()
 
+    n_calls = max(args.steps // args.multi_step, 1)
     t0 = time.perf_counter()
     done = 0
-    for _ in range(args.steps):
+    for _ in range(n_calls):
         outs = engine.step()
         done += sum(len(o.new_token_ids) for o in outs)
     dt = time.perf_counter() - t0

@@ -132,3 +132,53 @@ def test_stop_token(tiny):
                                  stop_token_ids=[stop_tok]))
     assert outs[0].finish_reason == "stop"
     assert outs[0].output_token_ids == ref[:5]
+
+
+def test_multi_step_decode_matches_single(tiny):
+    """K-step fused decode == one-step decode (greedy), incl. stop
+    truncation of overshoot tokens."""
+    cfg, params, _ = tiny
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (6, 14)]
+    ref_engine = make_engine(cfg, params)
+    sp = SamplingParams(max_tokens=9, temperature=0.0, ignore_eos=True)
+    ref = [o.output_token_ids
+           for o in ref_engine.generate(prompts, sp)]
+    multi = make_engine(cfg, params, decode_steps_per_call=4)
+    outs = multi.generate(prompts, sp)
+    assert [o.output_token_ids for o in outs] == ref
+    assert all(o.finish_reason == "length" for o in outs)
+    # max_tokens=9 with K=4 means the last chunk is truncated mid-call
+    assert all(len(o.output_token_ids) == 9 for o in outs)
+    # blocks all freed despite lookahead allocation
+    assert multi.allocator.num_free == multi.allocator.num_blocks - 1
+
+
+def test_prefix_caching_reuse(tiny):
+    """Identical prompt served twice: second request reuses cached KV
+    blocks (fewer prefill chunks) with identical greedy output."""
+    cfg, params, _ = tiny
+    engine = make_engine(cfg, params, max_num_batched_tokens=16)
+    if not hasattr(engine.allocator, "prefix_match"):
+        pytest.skip("native allocator unavailable")
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, 256, size=40).tolist()  # 5 full blocks of 8
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    out1 = engine.generate([prompt], sp)[0]
+    prefills_after_first = engine.metrics["num_prefill_steps"]
+
+    out2 = engine.generate([prompt], sp)[0]
+    prefills_second = engine.metrics["num_prefill_steps"] - \
+        prefills_after_first
+
+    assert out2.output_token_ids == out1.output_token_ids
+    # 40 tokens @ chunk 16 = 3 chunks cold; warm run should need fewer
+    assert prefills_second < 3
+    st = engine.stats()
+    assert st["prefix_hits"] >= 1
+    # divergent prompt only reuses the shared prefix
+    prompt3 = prompt[:24] + rng.integers(0, 256, size=16).tolist()
+    engine.generate([prompt3], sp)
+    assert engine.stats()["prefix_hits"] >= 2
+    assert engine.scheduler.num_running == 0

@@ -1,4 +1,5 @@
-"""Pallas paged-decode-attention kernel vs XLA reference (interpret mode)."""
+"""Pallas prefix-attention kernel + deferred decode merge vs XLA reference
+(interpret mode on CPU)."""
 
 import numpy as np
 import pytest
@@ -7,49 +8,93 @@ import jax
 import jax.numpy as jnp
 
 from vllm_backend_public_tpu.models.common import paged_attention_xla
-from vllm_backend_public_tpu.ops.attention import paged_decode_attention
+from vllm_backend_public_tpu.ops.attention import (
+    decode_attention_deferred, decode_attention_deferred_xla,
+    paged_prefix_attention)
+
+
+def make_case(B, MB, BS, NB, nh, nkv, d, prefix_lens, seed=0,
+              dtype=jnp.float32):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    q = jax.random.normal(k1, (B, nh, d), dtype=dtype)
+    k_new = jax.random.normal(k5, (B, nkv, d), dtype=dtype)
+    v_new = jax.random.normal(k6, (B, nkv, d), dtype=dtype)
+    k_pages = jax.random.normal(k2, (NB, nkv, BS, d), dtype=dtype)
+    v_pages = jax.random.normal(k3, (NB, nkv, BS, d), dtype=dtype)
+    bt = jax.random.permutation(k4, jnp.arange(1, NB))[:B * MB]
+    bt = bt.reshape(B, MB).astype(jnp.int32)
+    pl_ = jnp.asarray(prefix_lens, dtype=jnp.int32)
+    return q, k_new, v_new, k_pages, v_pages, bt, pl_
 
 
 @pytest.mark.parametrize("nh,nkv,d", [(8, 8, 64), (8, 2, 64), (4, 4, 128)])
-def test_decode_kernel_matches_xla(nh, nkv, d):
+def test_deferred_decode_matches_write_then_gather(nh, nkv, d):
+    """Pallas deferred (interpret) == XLA deferred == old write-then-gather."""
     B, MB, BS, NB = 4, 4, 16, 32
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    q = jax.random.normal(k1, (B, 1, nh, d), dtype=jnp.float32)
-    k_pages = jax.random.normal(k2, (NB, nkv, BS, d), dtype=jnp.float32)
-    v_pages = jax.random.normal(k3, (NB, nkv, BS, d), dtype=jnp.float32)
-    bt = jax.random.permutation(k4, jnp.arange(1, NB))[:B * MB].reshape(B, MB)
-    bt = bt.astype(jnp.int32)
-    # assorted context lengths incl. exactly-full pages and empty (inactive)
-    kv_lens = jnp.array([7, BS * 2, BS * MB, 0], dtype=jnp.int32)
-    positions = (kv_lens - 1).clip(0)[:, None]
-
+    prefix = [7, BS * 2, BS * MB - 1, 0]
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, prefix)
     scale = 1.0 / np.sqrt(d)
-    ref = paged_attention_xla(q, k_pages, v_pages, bt, kv_lens, positions,
-                              scale)
-    out = paged_decode_attention(q[:, 0], k_pages, v_pages, bt, kv_lens,
-                                 scale, interpret=True)[:, None]
-    # rows with kv_len == 0 are masked garbage in both paths; compare valid
-    valid = np.asarray(kv_lens) > 0
-    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+
+    ref = decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
+                                        bt, pl_, scale)
+
+    # write-then-gather cross-check: manually write the new token and run
+    # the classic gather attention (needs a free slot -> prefix < MB*BS)
+    from vllm_backend_public_tpu.models.common import (
+        slot_ids_from_positions, write_kv_layer)
+    positions = pl_[:, None]
+    slot_ids = slot_ids_from_positions(bt, positions, BS)
+    wk, wv = write_kv_layer(k_pages, v_pages, k_new[:, None], v_new[:, None],
+                            slot_ids, jnp.ones((B, 1), bool))
+    old = paged_attention_xla(q[:, None], wk, wv, bt, pl_ + 1, positions,
+                              scale)[:, 0]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(old),
+                               rtol=2e-5, atol=2e-5)
+
+    out = decode_attention_deferred(q, k_new, v_new, k_pages, v_pages, bt,
+                                    pl_, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
-def test_decode_kernel_bf16():
+def test_prefix_kernel_unnormalized_state():
+    """acc/l at running max m reconstructs softmax attention over prefix."""
     B, MB, BS, NB, nh, nkv, d = 2, 2, 16, 8, 4, 2, 64
-    key = jax.random.PRNGKey(1)
-    k1, k2, k3 = jax.random.split(key, 3)
-    q = jax.random.normal(k1, (B, 1, nh, d), dtype=jnp.bfloat16)
-    k_pages = jax.random.normal(k2, (NB, nkv, BS, d), dtype=jnp.bfloat16)
-    v_pages = jax.random.normal(k3, (NB, nkv, BS, d), dtype=jnp.bfloat16)
-    bt = jnp.arange(1, 1 + B * MB, dtype=jnp.int32).reshape(B, MB)
-    kv_lens = jnp.array([20, 31], dtype=jnp.int32)
-    positions = (kv_lens - 1)[:, None]
+    q, _, _, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, [20, 31], seed=1)
     scale = 1.0 / np.sqrt(d)
-    ref = paged_attention_xla(q, k_pages, v_pages, bt, kv_lens, positions,
-                              scale)
-    out = paged_decode_attention(q[:, 0], k_pages, v_pages, bt, kv_lens,
-                                 scale, interpret=True)[:, None]
-    np.testing.assert_allclose(
-        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32),
-        rtol=2e-2, atol=2e-2)
+    acc, m, l = paged_prefix_attention(q, k_pages, v_pages, bt, pl_, scale,
+                                       interpret=True)
+    out = np.asarray(acc / l)
+    # reference: plain softmax over the gathered prefix
+    B_, nh_, d_ = out.shape
+    g = nh // nkv
+    ctx = MB * BS
+    k = np.asarray(k_pages)[np.asarray(bt)].transpose(0, 2, 1, 3, 4)
+    k = k.reshape(B, nkv, ctx, d)
+    v = np.asarray(v_pages)[np.asarray(bt)].transpose(0, 2, 1, 3, 4)
+    v = v.reshape(B, nkv, ctx, d)
+    qg = np.asarray(q).reshape(B, nkv, g, d)
+    s = np.einsum("bkgd,bkcd->bkgc", qg, k) * scale
+    mask = np.arange(ctx)[None, :] < np.asarray(pl_)[:, None]
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("bkgc,bkcd->bkgd", p, v).reshape(B, nh, d)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_deferred_bf16():
+    B, MB, BS, NB, nh, nkv, d = 2, 2, 16, 8, 4, 2, 128
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, [20, 31], seed=2, dtype=jnp.bfloat16)
+    scale = 1.0 / np.sqrt(d)
+    ref = decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
+                                        bt, pl_, scale)
+    out = decode_attention_deferred(q, k_new, v_new, k_pages, v_pages, bt,
+                                    pl_, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)

@@ -40,6 +40,11 @@ class EngineConfig:
     attn_impl: str = "auto"              # "auto"|"xla"|"pallas"
     enforce_eager: bool = False          # parity flag; jit is always used
     seed: int = 0
+    # decode steps fused per device dispatch (multi-step decode): higher
+    # amortizes host<->device latency; tokens stream in K-sized chunks.
+    decode_steps_per_call: int = 1
+    # automatic prefix caching (needs the native allocator's radix cache)
+    enable_prefix_caching: bool = True
 
     # Prefill sequence-length buckets (powers of two generated up to max)
     prefill_buckets: tuple = ()

@@ -66,7 +66,10 @@ class LLMEngine:
         self.cache: KVCache = init_kv_cache(
             model_cfg, num_blocks, econfig.block_size,
             dtype=econfig.kv_jnp_dtype())
-        self.allocator = BlockAllocator(num_blocks)
+        from .block_allocator import make_allocator
+        self.allocator = make_allocator(
+            num_blocks, econfig.block_size,
+            prefer_native=econfig.enable_prefix_caching)
         self.scheduler = Scheduler(econfig, self.allocator)
 
         B = econfig.max_num_seqs
@@ -132,10 +135,10 @@ class LLMEngine:
         impl = self.attn_impl
         B = self._B
 
-        def decode_step(params, cache, counts, tokens, kv_lens,
-                        block_tables, active, samp, greedy_only):
+        def one_decode(params, cache, counts, tokens, kv_lens,
+                       block_tables, active, samp, steps, greedy_only):
             # positions of the new tokens == current kv_lens; attention sees
-            # kv_lens+1 (the new token's KV is written before the gather)
+            # the cached prefix + the new token (deferred write)
             positions = kv_lens
             attn_lens = kv_lens + active.astype(jnp.int32)
             attn = AttnInputs(
@@ -150,20 +153,40 @@ class LLMEngine:
                 logits = apply_penalties(logits, counts, samp["presence"],
                                          samp["frequency"],
                                          samp["repetition"])
-                toks = sample(logits, seeds=samp["seeds"],
-                              steps=samp["steps"],
+                toks = sample(logits, seeds=samp["seeds"], steps=steps,
                               temperature=samp["temperature"],
                               top_k=samp["top_k"], top_p=samp["top_p"],
                               min_p=samp["min_p"])
             toks = jnp.where(active, toks, 0)
             counts = counts.at[jnp.arange(B), toks].add(
                 active.astype(jnp.int32))
-            new_kv_lens = kv_lens + active.astype(jnp.int32)
-            new_steps = samp["steps"] + active.astype(jnp.int32)
-            return toks, cache, counts, new_kv_lens, new_steps
+            inc = active.astype(jnp.int32)
+            return toks, cache, counts, kv_lens + inc, steps + inc
 
-        self._decode_fn = jax.jit(decode_step, donate_argnums=(1, 2),
-                                  static_argnames=("greedy_only",))
+        def decode_multi(params, cache, counts, tokens, kv_lens,
+                         block_tables, active, samp, greedy_only, k_steps):
+            # k_steps fused decode iterations per dispatch: one host
+            # round-trip streams k_steps tokens per sequence
+            toks_buf = jnp.zeros((k_steps, B), jnp.int32)
+            steps = samp["steps"]
+
+            def body(i, carry):
+                toks_buf, tokens, cache, counts, kv_lens, steps = carry
+                toks, cache, counts, kv_lens, steps = one_decode(
+                    params, cache, counts, tokens, kv_lens, block_tables,
+                    active, samp, steps, greedy_only)
+                toks_buf = jax.lax.dynamic_update_index_in_dim(
+                    toks_buf, toks, i, axis=0)
+                return toks_buf, toks, cache, counts, kv_lens, steps
+
+            toks_buf, _, cache, counts, kv_lens, steps = jax.lax.fori_loop(
+                0, k_steps, body,
+                (toks_buf, tokens, cache, counts, kv_lens, steps))
+            return toks_buf, cache, counts, kv_lens, steps
+
+        self._decode_fn = jax.jit(
+            decode_multi, donate_argnums=(1, 2),
+            static_argnames=("greedy_only", "k_steps"))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
                          kv_len, write_mask, last_idx):
@@ -321,28 +344,42 @@ class LLMEngine:
             self._upload_dev_state()
         dev = self._dev
 
-        toks, self.cache, self._counts, new_kv_lens, new_steps = \
+        K = self.econfig.decode_steps_per_call
+        toks_buf, self.cache, self._counts, new_kv_lens, new_steps = \
             self._decode_fn(self.params, self.cache, self._counts,
                             dev["tokens"], dev["kv_lens"], dev["bt"],
                             dev["active"], dev["samp"],
-                            greedy_only=dev["greedy"])
+                            greedy_only=dev["greedy"], k_steps=K)
         # device state advances in place; host mirrors track it
-        dev["tokens"] = toks
+        dev["tokens"] = toks_buf[K - 1]
         dev["kv_lens"] = new_kv_lens
         dev["samp"]["steps"] = new_steps
-        toks_host = np.asarray(jax.device_get(toks))
+        toks_host = np.asarray(jax.device_get(toks_buf))  # [K, B]
 
         outputs = []
         for req in plan.requests:
             s = req.slot
-            tok = int(toks_host[s])
-            req.output_token_ids.append(tok)
-            self._kv_lens[s] += 1
-            self._last[s] = tok
-            self._samp["steps"][s] += 1
-            self.metrics["generated_tokens"] += 1
-            outputs.append(self._emit(req, [tok]))
+            self._kv_lens[s] += K
+            self._last[s] = int(toks_host[K - 1, s])
+            self._samp["steps"][s] += K
+            outputs.append(self._apply_decode_tokens(
+                req, [int(t) for t in toks_host[:, s]]))
         return outputs
+
+    def _apply_decode_tokens(self, req: Request,
+                             candidates: List[int]) -> RequestOutput:
+        """Append up to K sampled tokens, truncating at the first stop
+        condition (multi-step overshoot past a stop is discarded)."""
+        applied: List[int] = []
+        status = None
+        for tok in candidates:
+            req.output_token_ids.append(tok)
+            applied.append(tok)
+            self.metrics["generated_tokens"] += 1
+            status = self._stop_status(req)
+            if status is not None:
+                break
+        return self._finalize_output(req, applied, status)
 
     # ----------------------------------------------------------- termination
 
@@ -361,7 +398,10 @@ class LLMEngine:
         return None
 
     def _emit(self, req: Request, new_tokens: List[int]) -> RequestOutput:
-        status = self._stop_status(req)
+        return self._finalize_output(req, new_tokens, self._stop_status(req))
+
+    def _finalize_output(self, req: Request, new_tokens: List[int],
+                         status) -> RequestOutput:
         if status is not None:
             slot = req.slot
             self.scheduler.finish(req, status)
@@ -399,7 +439,7 @@ class LLMEngine:
         return [finals[i] for i in ids]
 
     def stats(self) -> dict:
-        return {
+        out = {
             **self.metrics,
             "num_waiting": self.scheduler.num_waiting,
             "num_running": self.scheduler.num_running,
@@ -408,3 +448,6 @@ class LLMEngine:
             "kv_occupancy": 1.0 - self.allocator.num_free
                             / max(self.allocator.num_blocks - 1, 1),
         }
+        if hasattr(self.allocator, "stats"):
+            out.update(self.allocator.stats())
+        return out

@@ -118,8 +118,38 @@ class Scheduler:
                 return b
         return self.cfg.prefill_buckets[-1]
 
+    def _try_prefix_cache(self, req: Request) -> None:
+        """Claim the longest cached prompt prefix (full blocks only,
+        leaving at least one token to prefill so logits exist)."""
+        if (req.num_computed_tokens or req.block_ids
+                or not self.cfg.enable_prefix_caching
+                or not hasattr(self.allocator, "prefix_match")):
+            return
+        bs = self.cfg.block_size
+        usable = (req.num_prompt_tokens - 1) // bs * bs
+        if usable <= 0:
+            return
+        matched = self.allocator.prefix_match(req.prompt_token_ids[:usable])
+        if matched:
+            req.block_ids = list(matched)
+            req.num_computed_tokens = len(matched) * bs
+
+    def _maybe_cache_prefix(self, req: Request) -> None:
+        """On finish, register the sequence's full-block KV for reuse."""
+        if (not self.cfg.enable_prefix_caching or not req.block_ids
+                or not hasattr(self.allocator, "prefix_insert")):
+            return
+        bs = self.cfg.block_size
+        # the final sampled token's KV was never computed
+        cached_valid = req.num_tokens - 1
+        nb_full = min(cached_valid // bs, len(req.block_ids))
+        if nb_full > 0:
+            self.allocator.prefix_insert(req.all_token_ids[:nb_full * bs],
+                                         req.block_ids[:nb_full])
+
     def _plan_prefill_chunk(self, req: Request,
                             out: SchedulerOutput) -> Optional[PrefillPlan]:
+        self._try_prefix_cache(req)
         start = req.num_computed_tokens
         remaining = req.num_prompt_tokens - start
         length = min(remaining, self.cfg.max_num_batched_tokens)
@@ -136,9 +166,11 @@ class Scheduler:
         return PrefillPlan(request=req, start=start, length=length, bucket=bucket)
 
     def _ensure_decode_blocks(self, out: SchedulerOutput) -> None:
-        """Every running seq needs capacity for one more token."""
+        """Every running seq needs capacity for the next multi-step chunk."""
+        lookahead = self.cfg.decode_steps_per_call
         for req in list(self.running):
-            need_tokens = req.num_tokens + 1
+            need_tokens = min(req.num_tokens + lookahead,
+                              self.cfg.max_model_len)
             need_blocks = (-(-need_tokens // self.cfg.block_size)
                            - len(req.block_ids))
             if need_blocks <= 0:
@@ -201,6 +233,8 @@ class Scheduler:
         req.status = status
         req.finish_time = _t.monotonic()
         if req.block_ids:
+            if status != RequestStatus.FINISHED_ABORTED:
+                self._maybe_cache_prefix(req)
             self.allocator.free(req.block_ids)
             req.block_ids = []
         if req.slot is not None:

@@ -173,10 +173,20 @@ class AttnInputs(NamedTuple):
 
 
 def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
-                    k_pages, v_pages, cos, sin, attn_impl="xla"):
-    """Full attention sub-block for one layer (proj -> rope -> cache -> attn -> proj).
+                    k_pages, v_pages, cos, sin, attn_impl="xla",
+                    defer_write=False):
+    """Full attention sub-block for one layer (proj -> rope -> attn -> proj).
 
-    x: [B, T, H]. Returns (out [B, T, H], new k_pages, new v_pages).
+    x: [B, T, H]. Returns (out [B, T, H], k_pages, v_pages, k_new, v_new).
+
+    Two cache disciplines:
+    - write-then-gather (default): new K/V are scattered into this layer's
+      pages before attention; k_new/v_new return as None.
+    - deferred (decode, T==1): pages stay read-only — attention runs over
+      the cached prefix plus the new token merged in-register, and the
+      layer's k_new/v_new [B, NKV, D] are returned so the caller performs
+      ONE scatter for all layers after the scan (a per-layer scatter
+      inside lax.scan forces a full cache copy per step).
     """
     b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -196,22 +206,63 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+    scale = 1.0 / math.sqrt(d)
+
+    if defer_write and t == 1:
+        from ..ops.attention import (decode_attention_deferred,
+                                     decode_attention_deferred_xla)
+        prefix_lens = attn.positions[:, 0]
+        q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
+        use_kernel = (attn_impl == "pallas" and d % 128 == 0
+                      and jax.default_backend() == "tpu")
+        if use_kernel:
+            out = decode_attention_deferred(
+                q1, k1, v1, k_pages, v_pages, attn.block_tables,
+                prefix_lens, scale)
+        else:
+            out = decode_attention_deferred_xla(
+                q1, k1, v1, k_pages, v_pages, attn.block_tables,
+                prefix_lens, scale)
+        out = out[:, None]
+        out = matmul(out.reshape(b, t, nh * d), layer["wo"])
+        if "bo" in layer:
+            out = out + layer["bo"]
+        return out, k_pages, v_pages, k1, v1
+
     # per-layer pages are [NB, NKV, BS, D]
     slot_ids = slot_ids_from_positions(attn.block_tables, attn.positions,
                                        k_pages.shape[2])
     k_pages, v_pages = write_kv_layer(k_pages, v_pages, k, v, slot_ids,
                                       attn.write_mask)
 
-    scale = 1.0 / math.sqrt(d)
-    if attn_impl == "pallas":
-        from ..ops.attention import paged_attention  # lazy: TPU-only path
-        out = paged_attention(q, k_pages, v_pages, attn.block_tables,
+    out = paged_attention_xla(q, k_pages, v_pages, attn.block_tables,
                               attn.kv_lens, attn.positions, scale)
-    else:
-        out = paged_attention_xla(q, k_pages, v_pages, attn.block_tables,
-                                  attn.kv_lens, attn.positions, scale)
 
     out = matmul(out.reshape(b, t, nh * d), layer["wo"])
     if "bo" in layer:
         out = out + layer["bo"]
-    return out, k_pages, v_pages
+    return out, k_pages, v_pages, None, None
+
+
+def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
+                        v_news: jax.Array, attn: AttnInputs) -> KVCache:
+    """One scatter for every layer's deferred decode K/V.
+
+    k_news/v_news: [L, B, NKV, D]; writes token positions attn.positions
+    [B, 1] through attn.block_tables into a (donated) cache in place.
+    """
+    L, b, nkv, d = k_news.shape
+    nb = cache.num_blocks
+    bs = cache.block_size
+    slots = slot_ids_from_positions(cache_bt := attn.block_tables,
+                                    attn.positions, bs)[:, 0]  # [B]
+    blk = slots // bs
+    off = slots % bs
+    blk = jnp.where(attn.write_mask[:, 0], blk, nb)  # oob -> dropped
+    # updates for advanced dims (1: blk, 3: off) with slices (0: L, 2: NKV)
+    # -> shape [B, L, NKV, D]
+    kn = k_news.swapaxes(0, 1).astype(cache.k.dtype)
+    vn = v_news.swapaxes(0, 1).astype(cache.v.dtype)
+    new_k = cache.k.at[:, blk, :, off].set(kn, mode="drop")
+    new_v = cache.v.at[:, blk, :, off].set(vn, mode="drop")
+    return KVCache(k=new_k, v=new_v)

@@ -16,33 +16,46 @@ import jax.numpy as jnp
 from ..loader.hf import ModelConfig
 from ..ops.linear import matmul
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
-                     rope_cos_sin)
+                     rope_cos_sin, write_kv_all_layers)
 
 
 def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn: AttnInputs, cache: KVCache,
                    attn_impl: str = "xla"):
-    """tokens: [B, T] -> hidden states [B, T, H], updated KVCache."""
+    """tokens: [B, T] -> hidden states [B, T, H], updated KVCache.
+
+    Decode (T==1) defers all KV-cache writes to one post-scan scatter;
+    prefill uses write-then-gather inside the scan (see
+    common.attention_block for why).
+    """
     x = params["embed"][tokens]  # [B, T, H]
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
 
     layers = params["layers"]
+    defer = tokens.shape[1] == 1
 
     def body(x, per_layer):
         layer, k_pages, v_pages = per_layer
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        a, k_pages, v_pages = attention_block(
-            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl)
+        a, k_pages, v_pages, k_new, v_new = attention_block(
+            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl,
+            defer_write=defer)
         x = x + a
         h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
         gate = jax.nn.silu(matmul(h, layer["wg"]))
         up = matmul(h, layer["wu"])
         x = x + matmul(gate * up, layer["wd"])
+        if defer:
+            return x, (k_new, v_new)
         return x, (k_pages, v_pages)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x, ys = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    if defer:
+        cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
+    else:
+        cache = KVCache(k=ys[0], v=ys[1])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, KVCache(k=new_k, v=new_v)
+    return x, cache
 
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..loader.hf import ModelConfig
 from ..ops.linear import matmul
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
-                     rope_cos_sin)
+                     rope_cos_sin, write_kv_all_layers)
 
 
 def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
@@ -49,20 +49,26 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
     layers = params["layers"]
+    defer = tokens.shape[1] == 1
 
     def body(x, per_layer):
         layer, k_pages, v_pages = per_layer
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        a, k_pages, v_pages = attention_block(
-            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl)
+        a, k_pages, v_pages, k_new, v_new = attention_block(
+            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl,
+            defer_write=defer)
         x = x + a
         h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
         x = x + moe_mlp(h, layer, cfg)
-        return x, (k_pages, v_pages)
+        return x, ((k_new, v_new) if defer else (k_pages, v_pages))
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x, ys = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    if defer:
+        cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
+    else:
+        cache = KVCache(k=ys[0], v=ys[1])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, KVCache(k=new_k, v=new_v)
+    return x, cache
 
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:

@@ -1,21 +1,25 @@
 """Pallas paged attention for TPU.
 
-Decode path: one grid program per sequence. The sequence's KV pages stream
-HBM->VMEM with manually double-buffered async DMA (one contiguous
-[NKV, BS, D] page per copy), the page loop has a *dynamic* bound
-(ceil(kv_len / BS)) so no bandwidth is spent on empty page slots, and all
-kv heads are processed per page with loop-carried flash (online-softmax)
-accumulators. This is the TPU-native equivalent of vLLM's CUDA
-PagedAttention kernel (reference exposes it only as --block-size,
-benchmark-vllm/vllm_templates.py:54); no [B, ctx, ...] gather is ever
-materialized in HBM, unlike the XLA reference path in models/common.py.
+Decode path ("prefix attention"): one new token per sequence attends over
+that sequence's *existing* KV pages (read-only). Grid (B, MB) rides
+Mosaic's automatic double-buffered pipeline; the page index for each grid
+step comes from a scalar-prefetched block table, and out-of-range steps
+re-map to the previous page so the pipeline skips the duplicate fetch (no
+HBM traffic for empty page slots). Online-softmax state lives in VMEM
+scratch across the page axis; the kernel returns (out, m, l) so the
+caller can merge the new token's own KV contribution in-register —
+meaning the cache write can happen ONCE per step outside the layer scan
+instead of 32 scatter-copies of the whole pool.
 
-Prefill (T>1) routes to the XLA write-then-gather path for now.
+This is the TPU-native equivalent of vLLM's CUDA PagedAttention kernel
+(reference exposes it only as --block-size,
+benchmark-vllm/vllm_templates.py:54).
 
 Layout contract (matches models/common.py):
-  q:        [B, T, NH, D]
+  q:        [B, NH, D] (decode: the new token's queries)
   k_pages:  [NB, NKV, BS, D]   (one page contiguous)
-  block_tables: [B, MB] int32; kv_lens: [B] int32.
+  block_tables: [B, MB] int32; prefix_lens: [B] int32 (tokens already in
+  the cache, NOT counting the new token).
 """
 
 from __future__ import annotations
@@ -30,119 +34,173 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _decode_kernel(bt_ref, kl_ref, q_ref, k_hbm, v_hbm, out_ref,
-                   kb, vb, sems, *, bs: int, mb: int, scale: float):
+def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
+                   o_ref, m_ref, l_ref,
+                   acc_ref, m_s, l_s, *, bs: int, scale: float):
     b = pl.program_id(0)
+    i = pl.program_id(1)
+    mb = pl.num_programs(1)
     kv_len = kl_ref[b]
-    num_pages = pl.cdiv(kv_len, bs)
 
-    q = q_ref[0].astype(jnp.float32)  # [NKV, G, D]
-    nkv, g, d = q.shape
-
-    def start_dma(i, slot):
-        page = bt_ref[b * mb + i]
-        k_dma = pltpu.make_async_copy(k_hbm.at[page], kb.at[slot],
-                                      sems.at[slot, 0])
-        v_dma = pltpu.make_async_copy(v_hbm.at[page], vb.at[slot],
-                                      sems.at[slot, 1])
-        k_dma.start()
-        v_dma.start()
-
-    @pl.when(num_pages > 0)
+    @pl.when(i == 0)
     def _():
-        start_dma(0, 0)
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
+    valid = kv_len - i * bs
 
-        @pl.when(i + 1 < num_pages)
-        def _():
-            start_dma(i + 1, jax.lax.rem(i + 1, 2))
-
-        # wait for this page's K and V
-        pltpu.make_async_copy(k_hbm.at[0], kb.at[slot],
-                              sems.at[slot, 0]).wait()
-        pltpu.make_async_copy(v_hbm.at[0], vb.at[slot],
-                              sems.at[slot, 1]).wait()
-
-        k = kb[slot].astype(jnp.float32)  # [NKV, BS, D]
-        v = vb[slot].astype(jnp.float32)
+    @pl.when(valid > 0)
+    def _():
+        q = q_ref[0].astype(jnp.float32)           # [NKV, G, D]
+        k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + i * bs
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < valid, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-        alpha = jnp.exp(m - m_new)
+        m_prev = m_s[:]                            # [NKV, G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l = l * alpha + jnp.sum(p, axis=2, keepdims=True)
-        pv = jax.lax.dot_general(
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # [NKV, G, D]
-        acc = acc * alpha + pv
-        return m_new, l, acc
+            preferred_element_type=jnp.float32)
+        m_s[:] = m_new
 
-    m0 = jnp.full((nkv, g, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((nkv, g, 1), jnp.float32)
-    a0 = jnp.zeros((nkv, g, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_pages, body, (m0, l0, a0))
-    out = acc / jnp.where(l > 0, l, 1.0)
-    out_ref[0] = out.astype(out_ref.dtype)
+    @pl.when(i == mb - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)  # UNnormalized
+        m_ref[0] = m_s[:]
+        l_ref[0] = l_s[:]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def paged_decode_attention(q, k_pages, v_pages, block_tables, kv_lens,
+def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False):
-    """q: [B, NH, D] (one new token per sequence) -> [B, NH, D]."""
+    """Unnormalized flash attention over cached prefix pages.
+
+    q: [B, NH, D] -> (acc [B, NH, D] f32, m [B, NH, 1] f32, l [B, NH, 1]
+    f32) with softmax(s)·V = acc/l at running max m. Rows with
+    prefix_len == 0 return (0, -inf, 0).
+    """
     b, nh, d = q.shape
     nb_pool, nkv, bs, _ = k_pages.shape
     mb = block_tables.shape[1]
     g = nh // nkv
     qg = q.reshape(b, nkv, g, d)
 
+    flat_bt = block_tables.reshape(-1)
+
+    def page_index(bi, ii, bt, kl):
+        # clamp OOB steps to the last valid page so Mosaic's pipeline
+        # skips the duplicate fetch (same index => no new DMA)
+        kv_len = kl[bi]
+        last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
+        ii = jnp.minimum(ii, last)
+        return (bt[bi * mb + ii], 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # block_tables (flat), kv_lens
-        grid=(b,),
+        num_scalar_prefetch=2,  # block_tables, prefix_lens
+        grid=(b, mb),
         in_specs=[
-            pl.BlockSpec((1, nkv, g, d), lambda bi, bt, kl: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # k_pages stay in HBM
-            pl.BlockSpec(memory_space=pltpu.HBM),  # v_pages stay in HBM
+            pl.BlockSpec((1, nkv, g, d), lambda bi, ii, bt, kl:
+                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, bs, d), page_index),
+            pl.BlockSpec((1, nkv, bs, d), page_index),
         ],
-        out_specs=pl.BlockSpec((1, nkv, g, d), lambda bi, bt, kl:
-                               (bi, 0, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((1, nkv, g, d), lambda bi, ii, bt, kl:
+                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g, 1), lambda bi, ii, bt, kl:
+                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, g, 1), lambda bi, ii, bt, kl:
+                         (bi, 0, 0, 0)),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, nkv, bs, d), k_pages.dtype),  # K double buffer
-            pltpu.VMEM((2, nkv, bs, d), v_pages.dtype),  # V double buffer
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((nkv, g, d), jnp.float32),
+            pltpu.VMEM((nkv, g, 1), jnp.float32),
+            pltpu.VMEM((nkv, g, 1), jnp.float32),
         ],
     )
 
-    out = pl.pallas_call(
-        functools.partial(_decode_kernel, bs=bs, mb=mb, scale=scale),
+    acc, m, l = pl.pallas_call(
+        functools.partial(_prefix_kernel, bs=bs, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(block_tables.reshape(-1), kv_lens, qg, k_pages, v_pages)
-    return out.reshape(b, nh, d)
+    )(flat_bt, prefix_lens, qg, k_pages, v_pages)
+    return (acc.reshape(b, nh, d), m.reshape(b, nh, 1), l.reshape(b, nh, 1))
+
+
+def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
+                              block_tables, prefix_lens, scale: float,
+                              interpret: bool = False):
+    """Full decode attention WITHOUT writing the cache: prefix pages via
+    the Pallas kernel + the new token's own KV merged in-register.
+
+    q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D].
+    """
+    b, nh, d = q.shape
+    nkv = k_new.shape[1]
+    g = nh // nkv
+    acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
+                                       prefix_lens, scale,
+                                       interpret=interpret)
+    qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
+    kf = k_new.astype(jnp.float32)  # [B, NKV, D]
+    vf = v_new.astype(jnp.float32)
+    s1 = jnp.einsum("bkgd,bkd->bkg", qf, kf)[..., None] * scale  # [B,NKV,G,1]
+    accr = acc.reshape(b, nkv, g, d)
+    mr = m.reshape(b, nkv, g, 1)
+    lr = l.reshape(b, nkv, g, 1)
+    m_tot = jnp.maximum(mr, s1)
+    alpha = jnp.exp(mr - m_tot)
+    p1 = jnp.exp(s1 - m_tot)
+    l_tot = lr * alpha + p1
+    out = (accr * alpha + p1 * vf[:, :, None, :]) / l_tot
+    return out.reshape(b, nh, d).astype(q.dtype)
+
+
+def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
+                                  block_tables, prefix_lens, scale: float):
+    """XLA reference for the deferred decode path (gather-based)."""
+    b, nh, d = q.shape
+    nb, nkv, bs, _ = k_pages.shape
+    mb = block_tables.shape[1]
+    ctx = mb * bs
+    g = nh // nkv
+    k = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
+    v = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
+    k = jnp.concatenate([k, k_new[:, :, None, :].astype(k.dtype)], axis=2)
+    v = jnp.concatenate([v, v_new[:, :, None, :].astype(v.dtype)], axis=2)
+    qg = q.reshape(b, nkv, g, d)
+    s = jnp.einsum("bkgd,bkcd->bkgc", qg.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    pos = jnp.arange(ctx + 1, dtype=jnp.int32)[None, :]
+    valid = (pos < prefix_lens[:, None]) | (pos == ctx)
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))
+    return out.reshape(b, nh, d).astype(q.dtype)
 
 
 def paged_attention(q, k_pages, v_pages, block_tables, kv_lens, positions,
                     scale: float):
-    """Dispatch: Pallas decode kernel for T==1, XLA path otherwise."""
+    """Write-then-gather dispatch used by the non-deferred model path.
+
+    q: [B, T, NH, D]. kv_lens INCLUDE the already-written new tokens.
+    """
     from ..models.common import paged_attention_xla
 
-    b, t, nh, d = q.shape
-    # Mosaic DMA slices need lane-aligned pages: head_dim % 128. Smaller
-    # head dims (e.g. TinyLlama's 64) take the XLA path.
-    if t == 1 and d % 128 == 0:
-        interpret = jax.default_backend() != "tpu"
-        out = paged_decode_attention(
-            q[:, 0], k_pages, v_pages, block_tables, kv_lens, scale,
-            interpret=interpret)
-        return out[:, None]
     return paged_attention_xla(q, k_pages, v_pages, block_tables, kv_lens,
                                positions, scale)

@@ -32,8 +32,11 @@ def _matmul_q_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]                                  # [M, bk] bf16
-    w = w_ref[:].astype(x.dtype)                  # [bk, bn] dequant in VMEM
+    # NB: int8 -> float32 is the fast Mosaic convert path; int8 -> bf16
+    # relayouts catastrophically (measured ~170x slower). The MXU takes
+    # the f32 operands at this small M without becoming compute-bound.
+    x = x_ref[:].astype(jnp.float32)              # [M, bk]
+    w = w_ref[:].astype(jnp.float32)              # [bk, bn] dequant in VMEM
     acc_ref[:] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
 
     @pl.when(k == n_k - 1)
