@@ -133,8 +133,10 @@ def main():
     engine = LLMEngine(econ, model_cfg=cfg, params=params)
 
     rng = np.random.default_rng(0)
-    sp = SamplingParams(max_tokens=args.steps + 8, temperature=0.0,
-                        ignore_eos=True)
+    warmup_calls = 2
+    n_calls = max(args.steps // args.multi_step, 1)
+    budget = (warmup_calls + n_calls + 1) * args.multi_step
+    sp = SamplingParams(max_tokens=budget, temperature=0.0, ignore_eos=True)
     for _ in range(B):
         engine.add_request(
             rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(), sp)
@@ -142,10 +144,9 @@ def main():
     # run prefills + warm the decode program
     while engine.scheduler.num_waiting:
         engine.step()
-    for _ in range(4):
+    for _ in range(warmup_calls):
         engine.step()
 
-    n_calls = max(args.steps // args.multi_step, 1)
     t0 = time.perf_counter()
     done = 0
     for _ in range(n_calls):
@@ -153,6 +154,8 @@ def main():
         done += sum(len(o.new_token_ids) for o in outs)
     dt = time.perf_counter() - t0
     toks_per_s = done / dt
+    assert done == n_calls * args.multi_step * B, \
+        f"bench invariant broken: {done} tokens emitted"
 
     # speed-of-light: weights read once per step + KV read for current ctx
     param_bytes = sum(x.size * x.dtype.itemsize
@@ -173,8 +176,8 @@ def main():
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / sol_toks, 4),
     }))
-    print(f"# step={dt / args.steps * 1e3:.2f} ms  sol_step="
-          f"{sol_step * 1e3:.2f} ms  device={kind}  "
+    print(f"# step={dt / (n_calls * args.multi_step) * 1e3:.2f} ms  "
+          f"sol_step={sol_step * 1e3:.2f} ms  device={kind}  "
           f"params={param_bytes / 1e9:.2f} GB", file=sys.stderr)
 
 

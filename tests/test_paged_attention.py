@@ -46,8 +46,9 @@ def test_deferred_decode_matches_write_then_gather(nh, nkv, d):
         slot_ids_from_positions, write_kv_layer)
     positions = pl_[:, None]
     slot_ids = slot_ids_from_positions(bt, positions, BS)
-    wk, wv = write_kv_layer(k_pages, v_pages, k_new[:, None], v_new[:, None],
-                            slot_ids, jnp.ones((B, 1), bool))
+    wk, wv = write_kv_layer((k_pages, v_pages), k_new[:, None],
+                            v_new[:, None], slot_ids,
+                            jnp.ones((B, 1), bool))
     old = paged_attention_xla(q[:, None], wk, wv, bt, pl_ + 1, positions,
                               scale)[:, 0]
     np.testing.assert_allclose(np.asarray(ref), np.asarray(old),

@@ -41,6 +41,9 @@ class KVCache(NamedTuple):
 
     k: jax.Array
     v: jax.Array
+    # per-(block, head, token) dequant scales for int8 KV; None otherwise
+    k_scale: Optional[jax.Array] = None  # [L, NB, NKV, BS] f32
+    v_scale: Optional[jax.Array] = None
 
     @property
     def block_size(self) -> int:
@@ -50,12 +53,33 @@ class KVCache(NamedTuple):
     def num_blocks(self) -> int:
         return self.k.shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(cfg: ModelConfig, num_blocks: int, block_size: int,
                   dtype=jnp.bfloat16) -> KVCache:
+    """dtype int8 allocates a scaled (quantized) cache — the in-repo
+    equivalent of vLLM's --kv-cache-dtype (BASELINE config #3)."""
     shape = (cfg.num_layers, num_blocks, cfg.num_kv_heads, block_size,
              cfg.head_dim)
+    if dtype == jnp.int8:
+        sshape = shape[:-1]
+        return KVCache(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       k_scale=jnp.zeros(sshape, jnp.float32),
+                       v_scale=jnp.zeros(sshape, jnp.float32))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jax.Array):
+    """Per-(token, head) symmetric int8. x: [..., D] -> (q int8, s f32 [...])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -104,31 +128,56 @@ def slot_ids_from_positions(block_tables: jax.Array, positions: jax.Array,
     return phys * block_size + off
 
 
-def write_kv_layer(k_pages: jax.Array, v_pages: jax.Array,
-                   k_new: jax.Array, v_new: jax.Array,
-                   slot_ids: jax.Array, write_mask: jax.Array):
+def write_kv_layer(kv: tuple, k_new: jax.Array, v_new: jax.Array,
+                   slot_ids: jax.Array, write_mask: jax.Array) -> tuple:
     """Scatter new K/V into one layer's page pool.
 
-    k_pages/v_pages: [NB, NKV, BS, D]; k_new/v_new: [B, T, NKV, D];
-    slot_ids: [B, T] global slots; write_mask: [B, T] bool (padding-safe).
-    Masked writes get an out-of-range block so the scatter drops them.
+    kv: (k_pages, v_pages) or (k_pages, v_pages, k_scale, v_scale) for an
+    int8 cache; pages [NB, NKV, BS, D], scales [NB, NKV, BS].
+    k_new/v_new: [B, T, NKV, D]; slot_ids: [B, T]; write_mask: [B, T]
+    (padding-safe: masked writes get an out-of-range block and drop).
     """
+    k_pages, v_pages = kv[0], kv[1]
     nb, nkv, bs, d = k_pages.shape
     slots = slot_ids.reshape(-1)
     blk = slots // bs
     off = slots % bs
     blk = jnp.where(write_mask.reshape(-1), blk, nb)  # oob -> dropped
-    kn = k_new.reshape(-1, nkv, d).astype(k_pages.dtype)
-    vn = v_new.reshape(-1, nkv, d).astype(v_pages.dtype)
-    # advanced indices on dims 0 and 2 -> updates [N, NKV, D]
-    k_pages = k_pages.at[blk, :, off].set(kn, mode="drop")
-    v_pages = v_pages.at[blk, :, off].set(vn, mode="drop")
-    return k_pages, v_pages
+    kn = k_new.reshape(-1, nkv, d)
+    vn = v_new.reshape(-1, nkv, d)
+    if len(kv) == 4:
+        kq, ks = quantize_kv(kn)
+        vq, vs = quantize_kv(vn)
+        k_pages = k_pages.at[blk, :, off].set(kq, mode="drop")
+        v_pages = v_pages.at[blk, :, off].set(vq, mode="drop")
+        ks_pages = kv[2].at[blk, :, off].set(ks, mode="drop")
+        vs_pages = kv[3].at[blk, :, off].set(vs, mode="drop")
+        return (k_pages, v_pages, ks_pages, vs_pages)
+    k_pages = k_pages.at[blk, :, off].set(kn.astype(k_pages.dtype),
+                                          mode="drop")
+    v_pages = v_pages.at[blk, :, off].set(vn.astype(v_pages.dtype),
+                                          mode="drop")
+    return (k_pages, v_pages)
+
+
+def gather_pages(pages: jax.Array, block_tables: jax.Array,
+                 scales: Optional[jax.Array] = None) -> jax.Array:
+    """[NB, NKV, BS, D] pages -> dequantized [B, NKV, CTX, D]."""
+    b, mb = block_tables.shape
+    nb, nkv, bs, d = pages.shape
+    out = pages[block_tables].transpose(0, 2, 1, 3, 4)
+    out = out.reshape(b, nkv, mb * bs, d)
+    if scales is not None:
+        s = scales[block_tables].transpose(0, 2, 1, 3).reshape(b, nkv,
+                                                               mb * bs)
+        out = out.astype(jnp.float32) * s[..., None]
+    return out
 
 
 def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                         block_tables: jax.Array, kv_lens: jax.Array,
-                        q_positions: jax.Array, scale: float) -> jax.Array:
+                        q_positions: jax.Array, scale: float,
+                        k_scale=None, v_scale=None) -> jax.Array:
     """Reference paged attention via gather (exact, XLA-only).
 
     q: [B, T, NH, D] (already includes RoPE); k_pages/v_pages: [NB, NKV, BS, D];
@@ -142,9 +191,8 @@ def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     ctx = mb * bs
     g = nh // nkv
 
-    # [B, MB, NKV, BS, D] -> [B, NKV, CTX, D]
-    k = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
-    v = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
+    k = gather_pages(k_pages, block_tables, k_scale)
+    v = gather_pages(v_pages, block_tables, v_scale)
 
     qg = q.reshape(b, t, nkv, g, d)
     # scores: [B, NKV, G, T, CTX]
@@ -173,11 +221,13 @@ class AttnInputs(NamedTuple):
 
 
 def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
-                    k_pages, v_pages, cos, sin, attn_impl="xla",
+                    kv: tuple, cos, sin, attn_impl="xla",
                     defer_write=False):
     """Full attention sub-block for one layer (proj -> rope -> attn -> proj).
 
-    x: [B, T, H]. Returns (out [B, T, H], k_pages, v_pages, k_new, v_new).
+    x: [B, T, H]; kv: this layer's cache arrays — (k, v) or
+    (k, v, k_scale, v_scale) for an int8 cache.
+    Returns (out [B, T, H], kv, k_new, v_new).
 
     Two cache disciplines:
     - write-then-gather (default): new K/V are scattered into this layer's
@@ -207,6 +257,8 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         k = apply_rope(k, cos, sin)
 
     scale = 1.0 / math.sqrt(d)
+    ks = kv[2] if len(kv) == 4 else None
+    vs = kv[3] if len(kv) == 4 else None
 
     if defer_write and t == 1:
         from ..ops.attention import (decode_attention_deferred,
@@ -217,31 +269,33 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
                       and jax.default_backend() == "tpu")
         if use_kernel:
             out = decode_attention_deferred(
-                q1, k1, v1, k_pages, v_pages, attn.block_tables,
-                prefix_lens, scale)
+                q1, k1, v1, kv[0], kv[1], attn.block_tables,
+                prefix_lens, scale, k_scale=ks, v_scale=vs)
         else:
             out = decode_attention_deferred_xla(
-                q1, k1, v1, k_pages, v_pages, attn.block_tables,
-                prefix_lens, scale)
+                q1, k1, v1, kv[0], kv[1], attn.block_tables,
+                prefix_lens, scale, k_scale=ks, v_scale=vs)
         out = out[:, None]
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
             out = out + layer["bo"]
-        return out, k_pages, v_pages, k1, v1
+        return out, kv, k1, v1
 
     # per-layer pages are [NB, NKV, BS, D]
     slot_ids = slot_ids_from_positions(attn.block_tables, attn.positions,
-                                       k_pages.shape[2])
-    k_pages, v_pages = write_kv_layer(k_pages, v_pages, k, v, slot_ids,
-                                      attn.write_mask)
+                                       kv[0].shape[2])
+    kv = write_kv_layer(kv, k, v, slot_ids, attn.write_mask)
+    ks = kv[2] if len(kv) == 4 else None
+    vs = kv[3] if len(kv) == 4 else None
 
-    out = paged_attention_xla(q, k_pages, v_pages, attn.block_tables,
-                              attn.kv_lens, attn.positions, scale)
+    out = paged_attention_xla(q, kv[0], kv[1], attn.block_tables,
+                              attn.kv_lens, attn.positions, scale,
+                              k_scale=ks, v_scale=vs)
 
     out = matmul(out.reshape(b, t, nh * d), layer["wo"])
     if "bo" in layer:
         out = out + layer["bo"]
-    return out, k_pages, v_pages, None, None
+    return out, kv, None, None
 
 
 def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
@@ -254,15 +308,25 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
     L, b, nkv, d = k_news.shape
     nb = cache.num_blocks
     bs = cache.block_size
-    slots = slot_ids_from_positions(cache_bt := attn.block_tables,
+    slots = slot_ids_from_positions(attn.block_tables,
                                     attn.positions, bs)[:, 0]  # [B]
     blk = slots // bs
     off = slots % bs
     blk = jnp.where(attn.write_mask[:, 0], blk, nb)  # oob -> dropped
     # updates for advanced dims (1: blk, 3: off) with slices (0: L, 2: NKV)
     # -> shape [B, L, NKV, D]
-    kn = k_news.swapaxes(0, 1).astype(cache.k.dtype)
-    vn = v_news.swapaxes(0, 1).astype(cache.v.dtype)
-    new_k = cache.k.at[:, blk, :, off].set(kn, mode="drop")
-    new_v = cache.v.at[:, blk, :, off].set(vn, mode="drop")
+    kn = k_news.swapaxes(0, 1)
+    vn = v_news.swapaxes(0, 1)
+    if cache.quantized:
+        kq, ksc = quantize_kv(kn)
+        vq, vsc = quantize_kv(vn)
+        return KVCache(
+            k=cache.k.at[:, blk, :, off].set(kq, mode="drop"),
+            v=cache.v.at[:, blk, :, off].set(vq, mode="drop"),
+            k_scale=cache.k_scale.at[:, blk, :, off].set(ksc, mode="drop"),
+            v_scale=cache.v_scale.at[:, blk, :, off].set(vsc, mode="drop"))
+    new_k = cache.k.at[:, blk, :, off].set(kn.astype(cache.k.dtype),
+                                           mode="drop")
+    new_v = cache.v.at[:, blk, :, off].set(vn.astype(cache.v.dtype),
+                                           mode="drop")
     return KVCache(k=new_k, v=new_v)

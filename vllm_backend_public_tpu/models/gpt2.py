@@ -23,25 +23,26 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     x = params["embed"][tokens] + params["pos_embed"][attn.positions]
     layers = params["layers"]
     defer = tokens.shape[1] == 1
+    cache_arrays = tuple(a for a in cache if a is not None)
 
     def body(x, per_layer):
-        layer, k_pages, v_pages = per_layer
+        layer, kv = per_layer[0], per_layer[1:]
         h = layer_norm(x, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
-        a, k_pages, v_pages, k_new, v_new = attention_block(
-            h, layer, cfg, attn, k_pages, v_pages, cos=None, sin=None,
+        a, kv, k_new, v_new = attention_block(
+            h, layer, cfg, attn, kv, cos=None, sin=None,
             attn_impl=attn_impl, defer_write=defer)
         x = x + a
         h = layer_norm(x, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
         h = jax.nn.gelu(matmul(h, layer["w_fc"]) + layer["b_fc"],
                         approximate=True)
         x = x + matmul(h, layer["w_proj"]) + layer["b_proj"]
-        return x, ((k_new, v_new) if defer else (k_pages, v_pages))
+        return x, ((k_new, v_new) if defer else kv)
 
-    x, ys = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x, ys = jax.lax.scan(body, x, (layers,) + cache_arrays)
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:
-        cache = KVCache(k=ys[0], v=ys[1])
+        cache = KVCache(*ys)
     x = layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                    cfg.layer_norm_eps)
     return x, cache

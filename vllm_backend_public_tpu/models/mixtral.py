@@ -50,23 +50,24 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
     layers = params["layers"]
     defer = tokens.shape[1] == 1
+    cache_arrays = tuple(a for a in cache if a is not None)
 
     def body(x, per_layer):
-        layer, k_pages, v_pages = per_layer
+        layer, kv = per_layer[0], per_layer[1:]
         h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
-        a, k_pages, v_pages, k_new, v_new = attention_block(
-            h, layer, cfg, attn, k_pages, v_pages, cos, sin, attn_impl,
+        a, kv, k_new, v_new = attention_block(
+            h, layer, cfg, attn, kv, cos, sin, attn_impl,
             defer_write=defer)
         x = x + a
         h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
         x = x + moe_mlp(h, layer, cfg)
-        return x, ((k_new, v_new) if defer else (k_pages, v_pages))
+        return x, ((k_new, v_new) if defer else kv)
 
-    x, ys = jax.lax.scan(body, x, (layers, cache.k, cache.v))
+    x, ys = jax.lax.scan(body, x, (layers,) + cache_arrays)
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:
-        cache = KVCache(k=ys[0], v=ys[1])
+        cache = KVCache(*ys)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, cache
 

@@ -144,12 +144,18 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
 def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
                               block_tables, prefix_lens, scale: float,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              k_scale=None, v_scale=None):
     """Full decode attention WITHOUT writing the cache: prefix pages via
     the Pallas kernel + the new token's own KV merged in-register.
 
     q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D].
     """
+    if k_scale is not None:
+        # int8 KV: dequant-in-kernel variant pending; use the XLA path
+        return decode_attention_deferred_xla(
+            q, k_new, v_new, k_pages, v_pages, block_tables, prefix_lens,
+            scale, k_scale=k_scale, v_scale=v_scale)
     b, nh, d = q.shape
     nkv = k_new.shape[1]
     g = nh // nkv
@@ -172,15 +178,20 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
 
 
 def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
-                                  block_tables, prefix_lens, scale: float):
-    """XLA reference for the deferred decode path (gather-based)."""
+                                  block_tables, prefix_lens, scale: float,
+                                  k_scale=None, v_scale=None):
+    """XLA reference for the deferred decode path (gather-based).
+
+    Supports int8 KV pages via per-(block, head, token) scales."""
+    from ..models.common import gather_pages
+
     b, nh, d = q.shape
     nb, nkv, bs, _ = k_pages.shape
     mb = block_tables.shape[1]
     ctx = mb * bs
     g = nh // nkv
-    k = k_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
-    v = v_pages[block_tables].transpose(0, 2, 1, 3, 4).reshape(b, nkv, ctx, d)
+    k = gather_pages(k_pages, block_tables, k_scale)
+    v = gather_pages(v_pages, block_tables, v_scale)
     k = jnp.concatenate([k, k_new[:, :, None, :].astype(k.dtype)], axis=2)
     v = jnp.concatenate([v, v_new[:, :, None, :].astype(v.dtype)], axis=2)
     qg = q.reshape(b, nkv, g, d)

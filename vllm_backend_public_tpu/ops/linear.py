@@ -64,9 +64,37 @@ def matmul(x: jax.Array, w) -> jax.Array:
         y = jnp.dot(x, w.q.astype(x.dtype),
                     preferred_element_type=jnp.float32)
         return (y * w.s).astype(x.dtype)
+    if w.kind == "w8a8":
+        return _w8a8_matmul(x, w)
     if w.kind == "int4":
         return _int4_matmul(x, w)
     raise ValueError(f"unknown quant kind {w.kind}")
+
+
+def quantize_activations(x: jax.Array):
+    """Dynamic symmetric per-token int8 activation quantization.
+
+    x: [..., K] -> (x8 int8, sx f32 [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax / 127.0, 1e-8)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _w8a8_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:
+    """int8 activations x int8 weights -> int32 accumulate on the MXU
+    (BASELINE config #3). Scales: per-token (dynamic) x per-out-channel."""
+    if _use_fused_kernel(x, w):
+        from .matmul_q import matmul_w8a8
+        lead = x.shape[:-1]
+        y = matmul_w8a8(x.reshape(-1, x.shape[-1]), w.q, w.s)
+        return y.reshape(*lead, w.q.shape[-1])
+    x8, sx = quantize_activations(x)
+    y = jax.lax.dot_general(
+        x8, w.q, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * sx * w.s).astype(x.dtype)
 
 
 def _use_fused_kernel(x, w) -> bool:

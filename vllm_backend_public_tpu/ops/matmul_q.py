@@ -44,6 +44,76 @@ def _matmul_q_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
         o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
 
 
+def _w8a8_kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 x int8 -> int32 rides the MXU's native int8 path
+    acc_ref[:] += jax.lax.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sx_ref[:]
+                    * sw_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_n", "interpret"))
+def matmul_w8a8(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                block_k: int = 512, block_n: int = 1024,
+                interpret: bool = False) -> jax.Array:
+    """W8A8: dynamic per-token activation quant + int8 weights.
+
+    x [M, K] bf16/f32; w_q [K, N] int8; scale [N] f32 -> [M, N] x.dtype.
+    """
+    from .linear import quantize_activations
+
+    m, kdim = x.shape
+    _, n = w_q.shape
+    x8, sx = quantize_activations(x)
+
+    def pick(block, dim):
+        for c in (block, 384, 256, 128):
+            if c <= block and dim % c == 0:
+                return c
+        return None
+
+    bk = pick(block_k, kdim)
+    bn = pick(block_n, n)
+    if bk is None or bn is None:
+        y = jax.lax.dot_general(x8, w_q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * sx * scale).astype(x.dtype)
+    n_k = kdim // bk
+
+    out = pl.pallas_call(
+        functools.partial(_w8a8_kernel, n_k=n_k),
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda ni, ki: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda ni, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda ni, ki: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x8, w_q, sx, scale.reshape(1, n).astype(jnp.float32))
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_k", "block_n", "interpret"))
 def matmul_quantized(x: jax.Array, w_q: jax.Array, scale: jax.Array,

@@ -57,8 +57,15 @@ def quantize_int4(w: jax.Array, group_size: int = 128) -> dict:
                            scale.squeeze(-2), g)
 
 
+def quantize_w8a8(w: jax.Array) -> QuantizedWeight:
+    """Weights as int8 (per-out-channel); activations quantized
+    dynamically per token inside the matmul (int8 x int8 -> int32 MXU)."""
+    qw = quantize_int8(w)
+    return QuantizedWeight("w8a8", qw.q, qw.s)
+
+
 _QUANTIZERS = {"int8": quantize_int8, "fp8": quantize_fp8,
-               "int4": quantize_int4, "w8a8": quantize_int8}
+               "int4": quantize_int4, "w8a8": quantize_w8a8}
 
 
 def quantize_params(params: dict, kind: str,
