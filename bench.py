@@ -100,13 +100,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama8b")
     ap.add_argument("--quant", default="int8",
-                    choices=["none", "int8", "fp8", "int4"])
-    ap.add_argument("--batch", type=int, default=16)
+                    choices=["none", "int8", "w8a8", "fp8", "int4"])
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=256,
+    ap.add_argument("--steps", type=int, default=64,
                     help="total decode tokens per sequence to time")
-    ap.add_argument("--max-model-len", type=int, default=1024)
-    ap.add_argument("--multi-step", type=int, default=8,
+    ap.add_argument("--max-model-len", type=int, default=384)
+    ap.add_argument("--multi-step", type=int, default=16,
                     help="decode steps fused per device dispatch")
     args = ap.parse_args()
 

@@ -101,10 +101,13 @@ class LLMEngine:
 
         self._requests: Dict[str, Request] = {}
         self._build_device_fns()
-        # metrics
+        # metrics (tokens/s, step latencies — the engine-side observability
+        # the reference disables in vLLM via disable-log-stats,
+        # reference models.py:24; here first-class)
         self.metrics = {"num_steps": 0, "num_prefill_steps": 0,
                         "num_decode_steps": 0, "generated_tokens": 0,
-                        "preemptions": 0}
+                        "preemptions": 0, "decode_step_ms_ema": 0.0,
+                        "prefill_step_ms_ema": 0.0}
 
     # ------------------------------------------------------------------ setup
 
@@ -126,6 +129,10 @@ class LLMEngine:
         num = max(budget // (bytes_per_tok * e.block_size), 0)
         need_min = e.max_num_seqs * 2 + 2
         num = max(min(num, e.max_num_seqs * e.max_blocks_per_seq + 1), need_min)
+        # observed: the TPU compile service falls over on whole-model
+        # programs whose page pool exceeds ~2048 blocks (isolated
+        # gather/scatter at that size compile fine) — cap until resolved
+        num = min(num, 2048)
         return int(num)
 
     def _build_device_fns(self):
@@ -242,16 +249,24 @@ class LLMEngine:
         for req in plan.preempted:
             self._release_slot_state(req)
         outputs: List[RequestOutput] = []
+        t0 = time.perf_counter()
         if plan.prefill is not None:
             self.metrics["num_prefill_steps"] += 1
             out = self._run_prefill(plan.prefill)
             if out is not None:
                 outputs.append(out)
+            self._ema("prefill_step_ms_ema", (time.perf_counter() - t0) * 1e3)
         elif plan.decode is not None:
             self.metrics["num_decode_steps"] += 1
             outputs.extend(self._run_decode(plan.decode))
+            self._ema("decode_step_ms_ema", (time.perf_counter() - t0) * 1e3)
         self.metrics["num_steps"] += 1
         return outputs
+
+    def _ema(self, key: str, val: float, alpha: float = 0.1) -> None:
+        prev = self.metrics[key]
+        self.metrics[key] = val if prev == 0.0 else (1 - alpha) * prev \
+            + alpha * val
 
     def _release_slot_state(self, req: Request) -> None:
         # slot was already freed by the scheduler; clear host mirrors lazily

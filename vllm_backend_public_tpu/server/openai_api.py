@@ -44,6 +44,8 @@ class OpenAIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/debug/profile/start", self.profile_start)
+        app.router.add_post("/debug/profile/stop", self.profile_stop)
         app.on_startup.append(self._on_startup)
         app.on_cleanup.append(self._on_cleanup)
         return app
@@ -73,6 +75,28 @@ class OpenAIServer:
             if isinstance(v, (int, float)):
                 lines.append(f"engine_{k} {v}")
         return web.Response(text="\n".join(lines) + "\n")
+
+    async def profile_start(self, request: web.Request) -> web.Response:
+        """Start a jax.profiler device trace (the tracing subsystem the
+        reference only aspires to in its design doc — SURVEY.md §5)."""
+        import jax
+
+        body = await request.json() if request.can_read_body else {}
+        log_dir = body.get("log_dir", "/tmp/vbpt-profile")
+        try:
+            jax.profiler.start_trace(log_dir)
+        except RuntimeError as e:
+            return self._err(409, str(e))
+        return web.json_response({"status": "tracing", "log_dir": log_dir})
+
+    async def profile_stop(self, request: web.Request) -> web.Response:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except RuntimeError as e:
+            return self._err(409, str(e))
+        return web.json_response({"status": "stopped"})
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({
