@@ -62,7 +62,7 @@ def random_params_on_device(cfg, quant):
             q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
             s = jnp.full(shape[:-2] + shape[-1:],
                          1.0 / (127 * fan_in ** 0.5), jnp.float32)
-            return QuantizedWeight("int8", q, s)
+            return QuantizedWeight(quant, q, s)
         if quant == "fp8":
             q = (jax.random.normal(k, shape, dtype=jnp.bfloat16)
                  * 100).astype(jnp.float8_e4m3fn)

@@ -182,3 +182,48 @@ def test_prefix_caching_reuse(tiny):
     engine.generate([prompt3], sp)
     assert engine.stats()["prefix_hits"] >= 2
     assert engine.scheduler.num_running == 0
+
+
+def test_logprobs_and_scoring(tiny):
+    """Generated-token logprobs + teacher-forced prompt scoring agree with
+    direct model computation."""
+    cfg, params, _ = tiny
+    engine = make_engine(cfg, params)
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, 256, size=9).tolist()
+    outs = engine.generate(
+        [prompt], SamplingParams(max_tokens=4, temperature=0.0,
+                                 ignore_eos=True, logprobs=3))
+    req_out = outs[0]
+    assert req_out.logprobs is not None
+    # greedy: sampled token must be the top-1 of its own top list
+    import math
+    for tok, entry in zip(req_out.output_token_ids[-len(req_out.logprobs):],
+                          req_out.logprobs):
+        top_ids = [t for t, _ in entry["top"]]
+        assert tok == top_ids[0]
+        assert entry["logprob"] <= 0.0
+        assert math.isclose(entry["logprob"], entry["top"][0][1],
+                            rel_tol=1e-5)
+
+    # scoring: engine.score == manual teacher-forced logprobs
+    lps = engine.score(prompt)
+    assert lps[0] is None and len(lps) == len(prompt)
+    from vllm_backend_public_tpu.models import llama as jl
+    from vllm_backend_public_tpu.models.common import AttnInputs, init_kv_cache
+    import jax.numpy as jnp
+    import jax
+    T = len(prompt)
+    cache = init_kv_cache(cfg, 4, 8, dtype=jnp.float32)
+    attn = AttnInputs(jnp.arange(1, 3, dtype=jnp.int32)[None, :],
+                      jnp.array([T], jnp.int32),
+                      jnp.arange(T, dtype=jnp.int32)[None, :],
+                      jnp.ones((1, T), bool))
+    h, _ = jl.forward_hidden(params, cfg,
+                             jnp.asarray(prompt, jnp.int32)[None, :],
+                             attn, cache)
+    logits = jl.logits_from_hidden(params, h)[0]
+    ref = np.asarray(jax.nn.log_softmax(logits[:-1], axis=-1))
+    for i in range(1, T):
+        np.testing.assert_allclose(lps[i], ref[i - 1, prompt[i]],
+                                   rtol=1e-4, atol=1e-4)

@@ -149,3 +149,31 @@ def test_status_and_metrics(server):
     assert "generated_tokens" in s and s["model"] == "demo"
     m = requests.get(server + "/metrics").text
     assert "engine_generated_tokens" in m
+
+
+def test_completions_logprobs(server):
+    r = requests.post(server + "/v1/completions", json={
+        "model": "demo", "prompt": "logprob test", "max_tokens": 4,
+        "temperature": 0.0, "logprobs": 3, "ignore_eos": True})
+    assert r.status_code == 200, r.text
+    lp = r.json()["choices"][0]["logprobs"]
+    assert lp is not None
+    assert len(lp["tokens"]) == 4
+    assert all(x <= 0 for x in lp["token_logprobs"])
+    # byte-fallback demo tokenizer can fold distinct ids to one string,
+    # deduping dict keys — bound, don't pin, the width
+    assert all(1 <= len(t) <= 3 for t in lp["top_logprobs"])
+
+
+def test_completions_echo_scoring(server):
+    """lm-eval loglikelihood pattern: echo + logprobs + max_tokens=0."""
+    r = requests.post(server + "/v1/completions", json={
+        "model": "demo", "prompt": "score this prompt", "max_tokens": 0,
+        "echo": True, "logprobs": 0})
+    assert r.status_code == 200, r.text
+    c = r.json()["choices"][0]
+    lp = c["logprobs"]
+    assert lp["token_logprobs"][0] is None
+    assert len(lp["token_logprobs"]) == len(lp["tokens"])
+    assert all(x <= 0 for x in lp["token_logprobs"][1:])
+    assert c["text"].startswith("score")

@@ -43,3 +43,31 @@ def test_tp_matches_single_device(eight_cpu_devices):
     out = jax.jit(run)(sharded, cache1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_engine_tensor_parallel_matches_single(eight_cpu_devices):
+    """Full engine with tensor_parallel_size=4 produces the same greedy
+    outputs as the unsharded engine."""
+    from fixtures import tiny_llama_jax
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    cfg, params, _ = tiny_llama_jax(num_kv_heads=4)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (5, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="t", dtype="float32", block_size=8, max_num_seqs=2,
+                  max_model_len=64, num_kv_blocks=32,
+                  enable_prefix_caching=False)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    ref = run()
+    tp = run(tensor_parallel_size=4)
+    assert tp == ref
+    tp_dp = run(tensor_parallel_size=2, data_parallel_size=2)
+    assert tp_dp == ref

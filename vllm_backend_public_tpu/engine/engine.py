@@ -62,10 +62,49 @@ class LLMEngine:
             self.attn_impl = ("pallas" if jax.default_backend() == "tpu"
                               else "xla")
 
+        # GSPMD mesh: shard params + cache when tp/dp/ep > 1 (XLA inserts
+        # the collectives; the reference's --tensor-parallel-size analog)
+        self.mesh = None
+        world = (econfig.tensor_parallel_size * econfig.data_parallel_size
+                 * econfig.expert_parallel_size)
+        if world > 1:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharding import shard_params
+            self.mesh = make_mesh(
+                tensor_parallel=econfig.tensor_parallel_size,
+                data_parallel=econfig.data_parallel_size,
+                expert_parallel=econfig.expert_parallel_size)
+            if model_cfg.num_kv_heads % econfig.tensor_parallel_size:
+                raise ValueError(
+                    f"num_kv_heads {model_cfg.num_kv_heads} not divisible "
+                    f"by tensor_parallel_size "
+                    f"{econfig.tensor_parallel_size}")
+            self.params = shard_params(self.params, self.mesh, model_cfg)
+            # Pallas kernels are single-device programs; under GSPMD use
+            # the XLA attention path and let the partitioner slice it
+            self.attn_impl = "xla"
+
         num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
+        if self.mesh is not None:
+            # page pool must split evenly over the "data" axis
+            dp = econfig.data_parallel_size
+            num_blocks = max((num_blocks // dp) * dp, 2 * dp)
         self.cache: KVCache = init_kv_cache(
             model_cfg, num_blocks, econfig.block_size,
             dtype=econfig.kv_jnp_dtype())
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.sharding import kv_cache_spec
+            spec5 = kv_cache_spec()
+            sh5 = NamedSharding(self.mesh, spec5)
+            sh4 = NamedSharding(self.mesh, PartitionSpec(*spec5[:-1]))
+            self.cache = KVCache(
+                k=jax.device_put(self.cache.k, sh5),
+                v=jax.device_put(self.cache.v, sh5),
+                k_scale=(None if self.cache.k_scale is None
+                         else jax.device_put(self.cache.k_scale, sh4)),
+                v_scale=(None if self.cache.v_scale is None
+                         else jax.device_put(self.cache.v_scale, sh4)))
         from .block_allocator import make_allocator
         self.allocator = make_allocator(
             num_blocks, econfig.block_size,
@@ -100,6 +139,7 @@ class LLMEngine:
         self._bt_len = np.zeros((B,), dtype=np.int64)
 
         self._requests: Dict[str, Request] = {}
+        self._score_fns: Dict[int, object] = {}
         self._build_device_fns()
         # metrics (tokens/s, step latencies — the engine-side observability
         # the reference disables in vLLM via disable-log-stats,
@@ -168,32 +208,52 @@ class LLMEngine:
             counts = counts.at[jnp.arange(B), toks].add(
                 active.astype(jnp.int32))
             inc = active.astype(jnp.int32)
-            return toks, cache, counts, kv_lens + inc, steps + inc
+            return toks, cache, counts, kv_lens + inc, steps + inc, logits
+
+        TOPLP = 5  # OpenAI-style top-logprobs width
 
         def decode_multi(params, cache, counts, tokens, kv_lens,
-                         block_tables, active, samp, greedy_only, k_steps):
+                         block_tables, active, samp, greedy_only, k_steps,
+                         want_logprobs):
             # k_steps fused decode iterations per dispatch: one host
             # round-trip streams k_steps tokens per sequence
             toks_buf = jnp.zeros((k_steps, B), jnp.int32)
+            lp_buf = jnp.zeros((k_steps, B), jnp.float32)
+            tv_buf = jnp.zeros((k_steps, B, TOPLP), jnp.float32)
+            ti_buf = jnp.zeros((k_steps, B, TOPLP), jnp.int32)
             steps = samp["steps"]
 
             def body(i, carry):
-                toks_buf, tokens, cache, counts, kv_lens, steps = carry
-                toks, cache, counts, kv_lens, steps = one_decode(
+                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache, counts,
+                 kv_lens, steps) = carry
+                toks, cache, counts, kv_lens, steps, logits = one_decode(
                     params, cache, counts, tokens, kv_lens, block_tables,
                     active, samp, steps, greedy_only)
                 toks_buf = jax.lax.dynamic_update_index_in_dim(
                     toks_buf, toks, i, axis=0)
-                return toks_buf, toks, cache, counts, kv_lens, steps
+                if want_logprobs:
+                    from .sampling import top_logprobs
+                    lp, tv, ti = top_logprobs(logits, toks, TOPLP)
+                    lp_buf = jax.lax.dynamic_update_index_in_dim(
+                        lp_buf, lp, i, axis=0)
+                    tv_buf = jax.lax.dynamic_update_index_in_dim(
+                        tv_buf, tv, i, axis=0)
+                    ti_buf = jax.lax.dynamic_update_index_in_dim(
+                        ti_buf, ti, i, axis=0)
+                return (toks_buf, lp_buf, tv_buf, ti_buf, toks, cache,
+                        counts, kv_lens, steps)
 
-            toks_buf, _, cache, counts, kv_lens, steps = jax.lax.fori_loop(
+            (toks_buf, lp_buf, tv_buf, ti_buf, _, cache, counts, kv_lens,
+             steps) = jax.lax.fori_loop(
                 0, k_steps, body,
-                (toks_buf, tokens, cache, counts, kv_lens, steps))
-            return toks_buf, cache, counts, kv_lens, steps
+                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache, counts,
+                 kv_lens, steps))
+            return (toks_buf, cache, counts, kv_lens, steps,
+                    (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 
         self._decode_fn = jax.jit(
             decode_multi, donate_argnums=(1, 2),
-            static_argnames=("greedy_only", "k_steps"))
+            static_argnames=("greedy_only", "k_steps", "want_logprobs"))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
                          kv_len, write_mask, last_idx):
@@ -321,6 +381,14 @@ class LLMEngine:
         req.first_token_time = time.monotonic()
         self._samp["steps"][slot] = 1
         req.output_token_ids.append(tok)
+        if s.logprobs is not None:
+            from .sampling import top_logprobs
+            lp, tv, ti = jax.jit(top_logprobs, static_argnums=2)(
+                logits[None], jnp.asarray([tok], jnp.int32), 5)
+            req.logprob_data.append({
+                "logprob": float(lp[0]),
+                "top": list(zip([int(t) for t in np.asarray(ti[0])],
+                                [float(v) for v in np.asarray(tv[0])]))})
         self.metrics["generated_tokens"] += 1
 
         self._slot_req[slot] = req
@@ -360,16 +428,20 @@ class LLMEngine:
         dev = self._dev
 
         K = self.econfig.decode_steps_per_call
-        toks_buf, self.cache, self._counts, new_kv_lens, new_steps = \
-            self._decode_fn(self.params, self.cache, self._counts,
-                            dev["tokens"], dev["kv_lens"], dev["bt"],
-                            dev["active"], dev["samp"],
-                            greedy_only=dev["greedy"], k_steps=K)
+        want_lp = any(r.sampling.logprobs is not None
+                      for r in plan.requests)
+        (toks_buf, self.cache, self._counts, new_kv_lens, new_steps,
+         lp_bufs) = self._decode_fn(
+            self.params, self.cache, self._counts,
+            dev["tokens"], dev["kv_lens"], dev["bt"],
+            dev["active"], dev["samp"],
+            greedy_only=dev["greedy"], k_steps=K, want_logprobs=want_lp)
         # device state advances in place; host mirrors track it
         dev["tokens"] = toks_buf[K - 1]
         dev["kv_lens"] = new_kv_lens
         dev["samp"]["steps"] = new_steps
         toks_host = np.asarray(jax.device_get(toks_buf))  # [K, B]
+        lp_host = (jax.device_get(lp_bufs) if want_lp else None)
 
         outputs = []
         for req in plan.requests:
@@ -377,6 +449,14 @@ class LLMEngine:
             self._kv_lens[s] += K
             self._last[s] = int(toks_host[K - 1, s])
             self._samp["steps"][s] += K
+            if want_lp and req.sampling.logprobs is not None:
+                lp, tv, ti = lp_host
+                for i in range(K):
+                    req.logprob_data.append({
+                        "logprob": float(lp[i, s]),
+                        "top": list(zip(
+                            [int(t) for t in ti[i, s]],
+                            [float(v) for v in tv[i, s]]))})
             outputs.append(self._apply_decode_tokens(
                 req, [int(t) for t in toks_host[:, s]]))
         return outputs
@@ -394,7 +474,56 @@ class LLMEngine:
             status = self._stop_status(req)
             if status is not None:
                 break
+        # drop logprob entries for discarded overshoot tokens
+        if req.logprob_data:
+            req.logprob_data = req.logprob_data[:len(req.output_token_ids)]
         return self._finalize_output(req, applied, status)
+
+    # -------------------------------------------------------------- scoring
+
+    def score(self, prompt_ids: Sequence[int]) -> List[Optional[float]]:
+        """Teacher-forced per-token logprobs of a prompt (OpenAI
+        echo+logprobs / loglikelihood scoring). Independent of the serving
+        cache; one compiled program per length bucket."""
+        T = len(prompt_ids)
+        if T < 2:
+            return [None] * T
+        bucket = next((b for b in self.econfig.prefill_buckets if T <= b),
+                      None)
+        if bucket is None:
+            if T > self.econfig.max_model_len:
+                raise ValueError(f"prompt length {T} > max_model_len")
+            bucket = self.econfig.max_model_len
+        fn = self._score_fns.get(bucket)
+        if fn is None:
+            fn = self._build_score_fn(bucket)
+            self._score_fns[bucket] = fn
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :T] = prompt_ids
+        lps = np.asarray(fn(self.params, jnp.asarray(padded), T))
+        return [None] + [float(x) for x in lps[:T - 1]]
+
+    def _build_score_fn(self, bucket: int):
+        cfg, e = self.model_cfg, self.econfig
+        bs = e.block_size
+        mb = -(-bucket // bs)
+        fam = self.family
+
+        def score_fn(params, tokens, length):
+            cache = init_kv_cache(cfg, mb + 1, bs, dtype=e.kv_jnp_dtype())
+            attn = AttnInputs(
+                block_tables=jnp.arange(1, mb + 1, dtype=jnp.int32)[None, :],
+                kv_lens=jnp.asarray([length], jnp.int32),
+                positions=jnp.arange(bucket, dtype=jnp.int32)[None, :],
+                write_mask=(jnp.arange(bucket) < length)[None, :])
+            hidden, _ = fam.forward_hidden(params, cfg, tokens, attn, cache,
+                                           attn_impl=self.attn_impl)
+            logits = fam.logits_from_hidden(params, hidden)[0]
+            logp = jax.nn.log_softmax(logits[:-1], axis=-1)
+            tgt = tokens[0, 1:]
+            return jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+
+        return jax.jit(score_fn)
 
     # ----------------------------------------------------------- termination
 
@@ -426,6 +555,10 @@ class LLMEngine:
                 self._bt_len[slot] = 0
                 self._dev = None
             del self._requests[req.request_id]
+        lp_entries = None
+        if req.sampling.logprobs is not None and req.logprob_data:
+            n_out = len(req.output_token_ids)
+            lp_entries = req.logprob_data[n_out - len(new_tokens):n_out]
         return RequestOutput(
             request_id=req.request_id,
             new_token_ids=new_tokens,
@@ -433,6 +566,7 @@ class LLMEngine:
             finished=status is not None,
             finish_reason=status.finish_reason if status else None,
             num_prompt_tokens=req.num_prompt_tokens,
+            logprobs=lp_entries,
             ttft=(req.first_token_time - req.arrival_time
                   if req.first_token_time else None),
             latency=(req.finish_time - req.arrival_time

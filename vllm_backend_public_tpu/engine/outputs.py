@@ -14,6 +14,9 @@ class RequestOutput:
     finished: bool = False
     finish_reason: Optional[str] = None
     num_prompt_tokens: int = 0
+    # logprob entries for new_token_ids (when requested):
+    # {"logprob": float, "top": [(token_id, logprob), ...]}
+    logprobs: Optional[List[dict]] = None
     # wall-clock metrics (monotonic seconds)
     ttft: Optional[float] = None
     latency: Optional[float] = None

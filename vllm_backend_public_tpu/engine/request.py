@@ -71,6 +71,8 @@ class Request:
 
     status: RequestStatus = RequestStatus.WAITING
     output_token_ids: List[int] = field(default_factory=list)
+    # per generated token: {"logprob": float, "top": [(token_id, lp), ...]}
+    logprob_data: List[dict] = field(default_factory=list)
     # paged-KV bookkeeping
     block_ids: List[int] = field(default_factory=list)
     num_computed_tokens: int = 0  # prompt tokens whose KV is materialized

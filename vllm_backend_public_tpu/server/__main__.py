@@ -111,6 +111,20 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    # Re-apply JAX_PLATFORMS through jax.config: in environments where jax
+    # is pre-imported with a remote TPU plugin (sitecustomize), env-var
+    # platform selection can touch — and block on — the remote backend
+    # during discovery; the config path does not.
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    # SIGUSR1 dumps all thread stacks (debug hung engines in production)
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     if not args.demo and not args.model:
         ap.error("--model or --demo required")
 

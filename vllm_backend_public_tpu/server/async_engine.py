@@ -70,6 +70,14 @@ class AsyncEngineRunner:
         self._submit_q.put(("abort", request_id))
         self._wake.set()
 
+    async def score(self, prompt_ids: Sequence[int]):
+        """Teacher-forced prompt logprobs (echo+logprobs), computed on the
+        engine thread between steps."""
+        fut = asyncio.get_running_loop().create_future()
+        self._submit_q.put(("score", list(prompt_ids), fut))
+        self._wake.set()
+        return await fut
+
     def stats(self) -> dict:
         return self.engine.stats()
 
@@ -83,6 +91,15 @@ class AsyncEngineRunner:
                 return
             if item[0] == "abort":
                 self.engine.abort_request(item[1])
+                continue
+            if item[0] == "score":
+                _, ids, fut = item
+                assert self._loop is not None
+                try:
+                    result = self.engine.score(ids)
+                    self._loop.call_soon_threadsafe(fut.set_result, result)
+                except Exception as e:
+                    self._loop.call_soon_threadsafe(fut.set_exception, e)
                 continue
             prompt_ids, sampling, priority, request_id, out_q = item
             try:

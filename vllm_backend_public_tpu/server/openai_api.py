@@ -148,13 +148,26 @@ class OpenAIServer:
         usage_p = usage_c = 0
         for i, p in enumerate(prompts):
             prompt_ids = self._encode(p)
-            text, finish, ntok = await self._collect(prompt_ids, sampling,
-                                                     f"{rid}-{i}", priority)
+            lp_obj = None
+            if sampling.max_tokens == 0:
+                # pure scoring (echo + logprobs, lm-eval loglikelihood)
+                text, finish, ntok = "", "length", 0
+                if sampling.echo and sampling.logprobs is not None:
+                    lp_obj = await self._prompt_logprobs(prompt_ids)
+            else:
+                text, finish, ntok, gen_lp = await self._collect(
+                    prompt_ids, sampling, f"{rid}-{i}", priority)
+                if sampling.logprobs is not None:
+                    lp_obj = self._format_logprobs(gen_lp,
+                                                   sampling.logprobs)
+                    if sampling.echo:
+                        pre = await self._prompt_logprobs(prompt_ids)
+                        lp_obj = {k: pre[k] + lp_obj[k] for k in lp_obj}
             if sampling.echo:
                 text = (p if isinstance(p, str) else
                         self.tokenizer.decode(prompt_ids)) + text
             choices.append({"index": i, "text": text,
-                            "finish_reason": finish, "logprobs": None})
+                            "finish_reason": finish, "logprobs": lp_obj})
             usage_p += len(prompt_ids)
             usage_c += ntok
         return web.json_response({
@@ -180,8 +193,8 @@ class OpenAIServer:
         if body.get("stream"):
             return await self._stream_chat(request, prompt_ids, sampling, rid)
 
-        text, finish, ntok = await self._collect(prompt_ids, sampling, rid,
-                                                 body.get("priority", "medium"))
+        text, finish, ntok, _ = await self._collect(
+            prompt_ids, sampling, rid, body.get("priority", "medium"))
         return web.json_response({
             "id": rid, "object": "chat.completion", "created": _now(),
             "model": body.get("model", self.model_name),
@@ -222,17 +235,42 @@ class OpenAIServer:
         text = ""
         finish = None
         ntok = 0
+        lp_entries: list = []
+        token_ids: list = []
         async for out in self.runner.submit(prompt_ids, sampling, priority,
                                             rid):
             text += detok.push(out.new_token_ids)
             ntok = len(out.output_token_ids)
+            token_ids.extend(out.new_token_ids)
+            if out.logprobs:
+                lp_entries.extend(out.logprobs)
             finish = out.finish_reason
             if sampling.stop:
                 cut = self._matched_stop(text, sampling.stop)
                 if cut is not None:
                     self.runner.abort(rid)
-                    return text[:cut], "stop", ntok
-        return text, finish or "stop", ntok
+                    return (text[:cut], "stop", ntok,
+                            (token_ids, lp_entries))
+        return text, finish or "stop", ntok, (token_ids, lp_entries)
+
+    def _format_logprobs(self, gen_lp, k: int) -> dict:
+        token_ids, entries = gen_lp
+        toks, lps, tops = [], [], []
+        for tid, e in zip(token_ids, entries):
+            toks.append(self.tokenizer.decode([tid]))
+            lps.append(e["logprob"])
+            tops.append({self.tokenizer.decode([t]): lp
+                         for t, lp in e["top"][:k]})
+        return {"tokens": toks, "token_logprobs": lps,
+                "top_logprobs": tops,
+                "text_offset": [0] * len(toks)}
+
+    async def _prompt_logprobs(self, prompt_ids) -> dict:
+        lps = await self.runner.score(prompt_ids)
+        toks = [self.tokenizer.decode([t]) for t in prompt_ids]
+        return {"tokens": toks, "token_logprobs": lps,
+                "top_logprobs": [None] * len(toks),
+                "text_offset": [0] * len(toks)}
 
     async def _stream_completion(self, request, prompt, sampling, rid,
                                  priority):
