@@ -227,3 +227,38 @@ def test_logprobs_and_scoring(tiny):
     for i in range(1, T):
         np.testing.assert_allclose(lps[i], ref[i - 1, prompt[i]],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_sampler_distribution():
+    """Sampler statistics: top-k truncation honored; temperature-only
+    matches softmax frequencies."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_backend_public_tpu.engine.sampling import sample
+
+    logits = jnp.asarray(
+        np.tile(np.array([3.0, 2.5, 0.0, -1.0, -2.0] + [-9.0] * 59,
+                         np.float32), (1, 1)))
+    N = 400
+    counts = {}
+    for i in range(N):
+        tok = int(sample(
+            logits, seeds=jnp.array([7]), steps=jnp.array([i]),
+            temperature=jnp.array([1.0]), top_k=jnp.array([2]),
+            top_p=jnp.array([1.0]), min_p=jnp.array([0.0]))[0])
+        counts[tok] = counts.get(tok, 0) + 1
+    assert set(counts) <= {0, 1}, counts  # top-2 only
+    # softmax(3.0 vs 2.5) ~ 62/38
+    frac = counts.get(0, 0) / N
+    assert 0.5 < frac < 0.75, frac
+
+    # temperature-only: rare tokens possible, ranking respected
+    counts = {}
+    for i in range(N):
+        tok = int(sample(
+            logits, seeds=jnp.array([11]), steps=jnp.array([i]),
+            temperature=jnp.array([1.5]), top_k=jnp.array([0]),
+            top_p=jnp.array([1.0]), min_p=jnp.array([0.0]))[0])
+        counts[tok] = counts.get(tok, 0) + 1
+    assert counts.get(0, 0) > counts.get(2, 0)
+    assert len(counts) >= 3  # full-vocab path reaches past top-2

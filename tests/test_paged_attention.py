@@ -99,3 +99,46 @@ def test_deferred_bf16():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_chunk_prefill_deferred_matches_write_then_gather():
+    """Deferred chunked-prefill (prefix kernel + in-chunk causal + merge)
+    == classic write-then-gather attention."""
+    from vllm_backend_public_tpu.ops.attention import (
+        chunk_prefill_attention_deferred)
+    from vllm_backend_public_tpu.models.common import (
+        slot_ids_from_positions, write_kv_layer)
+
+    B, T, MB, BS, NB, nh, nkv, d = 2, 8, 4, 16, 32, 8, 2, 64
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, T, nh, d), dtype=jnp.float32)
+    kc = jax.random.normal(ks[1], (B, T, nkv, d), dtype=jnp.float32)
+    vc = jax.random.normal(ks[2], (B, T, nkv, d), dtype=jnp.float32)
+    k_pages = jax.random.normal(ks[3], (NB, nkv, BS, d), dtype=jnp.float32)
+    v_pages = jax.random.normal(ks[4], (NB, nkv, BS, d), dtype=jnp.float32)
+    bt = jax.random.permutation(ks[5], jnp.arange(1, NB))[:B * MB]
+    bt = bt.reshape(B, MB).astype(jnp.int32)
+    prefix = jnp.array([13, 0], dtype=jnp.int32)  # incl. empty prefix
+    # second seq has only 5 real tokens in the chunk
+    wmask = jnp.array([[True] * T, [True] * 5 + [False] * 3])
+    positions = prefix[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    scale = 1.0 / np.sqrt(d)
+
+    # reference: write chunk into pages, classic gather attention
+    slots = slot_ids_from_positions(bt, positions, BS)
+    wk, wv = write_kv_layer((k_pages, v_pages), kc, vc, slots, wmask)
+    kv_lens = prefix + jnp.sum(wmask, axis=1)
+    ref = paged_attention_xla(q, wk, wv, bt, kv_lens, positions, scale)
+
+    for use_kernel in (False, True):
+        out = chunk_prefill_attention_deferred(
+            q, kc, vc, k_pages, v_pages, bt, prefix, wmask, scale,
+            interpret=True, use_kernel=use_kernel)
+        # compare only real (unmasked) rows
+        for b in range(B):
+            n = int(jnp.sum(wmask[b]))
+            np.testing.assert_allclose(
+                np.asarray(out)[b, :n], np.asarray(ref)[b, :n],
+                rtol=3e-5, atol=3e-5,
+                err_msg=f"use_kernel={use_kernel} b={b}")

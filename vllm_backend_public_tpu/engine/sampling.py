@@ -33,6 +33,9 @@ def apply_penalties(logits: jax.Array, counts: jax.Array,
     return logits
 
 
+TRUNC_WIDTH = 64  # candidate set for top-k/top-p truncation
+
+
 def sample(logits: jax.Array, *, seeds: jax.Array, steps: jax.Array,
            temperature: jax.Array, top_k: jax.Array, top_p: jax.Array,
            min_p: jax.Array) -> jax.Array:
@@ -43,6 +46,12 @@ def sample(logits: jax.Array, *, seeds: jax.Array, steps: jax.Array,
     temperature: [B] float32; 0.0 => greedy.
     top_k: [B] int32; 0 => disabled. top_p: [B] in (0,1]; min_p: [B] in [0,1).
     Returns [B] int32 token ids.
+
+    Never sorts the vocab: greedy is argmax, pure temperature sampling is
+    Gumbel-argmax over the full distribution (exact), and top-k/top-p/min-p
+    truncation runs inside a lax.top_k(TRUNC_WIDTH) candidate set — exact
+    for top_k <= 64; top_p tails beyond 64 candidates are clipped (the
+    standard TPU-sampler tradeoff).
     """
     b, v = logits.shape
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -50,35 +59,35 @@ def sample(logits: jax.Array, *, seeds: jax.Array, steps: jax.Array,
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    # sort descending once; build top-k / top-p / min-p masks in sorted order
-    sort_idx = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
-    ranks = jnp.arange(v, dtype=jnp.int32)[None, :]
-
-    k = jnp.where(top_k <= 0, v, top_k)[:, None]
-    mask = ranks < k
-
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens whose cumulative mass *before* them is < top_p
-    mask &= (cum - probs) < top_p[:, None]
-
-    # min-p: drop tokens below min_p * max_prob
-    mask &= probs >= (min_p[:, None] * probs[:, 0:1])
-    mask = mask.at[:, 0].set(True)  # always keep the argmax
-
-    filtered = jnp.where(mask, sorted_logits, NEG_INF)
-
     def one_key(seed, step):
         return jax.random.fold_in(jax.random.PRNGKey(seed), step)
 
     keys = jax.vmap(one_key)(seeds, steps)
     gumbel = jax.vmap(
         lambda key: jax.random.gumbel(key, (v,), dtype=jnp.float32))(keys)
-    choice_sorted = jnp.argmax(filtered + gumbel, axis=-1)
-    sampled_tok = jnp.take_along_axis(
-        sort_idx, choice_sorted[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
+    # exact full-vocab temperature sampling (no truncation requested)
+    full_tok = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+
+    # truncated sampling within the top-W candidates
+    w = min(TRUNC_WIDTH, v)
+    cand_logits, cand_idx = jax.lax.top_k(scaled, w)  # descending
+    ranks = jnp.arange(w, dtype=jnp.int32)[None, :]
+    k = jnp.where(top_k <= 0, v, jnp.minimum(top_k, w))[:, None]
+    mask = ranks < k
+    probs = jax.nn.softmax(cand_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    mask &= (cum - probs) < top_p[:, None]
+    mask &= probs >= (min_p[:, None] * probs[:, 0:1])
+    mask = mask.at[:, 0].set(True)  # always keep the argmax
+    filtered = jnp.where(mask, cand_logits, NEG_INF)
+    cand_gumbel = jnp.take_along_axis(gumbel, cand_idx, axis=-1)
+    choice = jnp.argmax(filtered + cand_gumbel, axis=-1)
+    trunc_tok = jnp.take_along_axis(
+        cand_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    truncated = (top_k > 0) | (top_p < 1.0) | (min_p > 0.0)
+    sampled_tok = jnp.where(truncated, trunc_tok, full_tok)
     return jnp.where(temperature <= 0.0, greedy_tok, sampled_tok)
 
 

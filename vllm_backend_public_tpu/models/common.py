@@ -260,13 +260,14 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     ks = kv[2] if len(kv) == 4 else None
     vs = kv[3] if len(kv) == 4 else None
 
+    use_kernel = (attn_impl == "pallas" and d % 128 == 0
+                  and jax.default_backend() == "tpu")
+
     if defer_write and t == 1:
         from ..ops.attention import (decode_attention_deferred,
                                      decode_attention_deferred_xla)
         prefix_lens = attn.positions[:, 0]
         q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
-        use_kernel = (attn_impl == "pallas" and d % 128 == 0
-                      and jax.default_backend() == "tpu")
         if use_kernel:
             out = decode_attention_deferred(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
@@ -280,6 +281,20 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         if "bo" in layer:
             out = out + layer["bo"]
         return out, kv, k1, v1
+
+    if defer_write and t > 1 and ks is None:
+        # chunked prefill: streamed prefix pages + in-chunk causal, cache
+        # write deferred to one post-scan scatter (no page gather at all)
+        from ..ops.attention import chunk_prefill_attention_deferred
+
+        prefix_lens = attn.positions[:, 0]  # chunk starts here
+        out = chunk_prefill_attention_deferred(
+            q, k, v, kv[0], kv[1], attn.block_tables, prefix_lens,
+            attn.write_mask, scale, use_kernel=use_kernel)
+        out = matmul(out.reshape(b, t, nh * d), layer["wo"])
+        if "bo" in layer:
+            out = out + layer["bo"]
+        return out, kv, k, v
 
     # per-layer pages are [NB, NKV, BS, D]
     slot_ids = slot_ids_from_positions(attn.block_tables, attn.positions,
@@ -300,23 +315,28 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
 
 def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
                         v_news: jax.Array, attn: AttnInputs) -> KVCache:
-    """One scatter for every layer's deferred decode K/V.
+    """One scatter for every layer's deferred K/V.
 
-    k_news/v_news: [L, B, NKV, D]; writes token positions attn.positions
-    [B, 1] through attn.block_tables into a (donated) cache in place.
+    k_news/v_news: [L, B, NKV, D] (decode) or [L, B, T, NKV, D] (chunked
+    prefill); writes token positions attn.positions [B, T] through
+    attn.block_tables into a (donated) cache in place.
     """
-    L, b, nkv, d = k_news.shape
+    if k_news.ndim == 4:
+        k_news = k_news[:, :, None]
+        v_news = v_news[:, :, None]
+    L, b, t, nkv, d = k_news.shape
     nb = cache.num_blocks
     bs = cache.block_size
-    slots = slot_ids_from_positions(attn.block_tables,
-                                    attn.positions, bs)[:, 0]  # [B]
+    slots = slot_ids_from_positions(attn.block_tables, attn.positions, bs)
     blk = slots // bs
     off = slots % bs
-    blk = jnp.where(attn.write_mask[:, 0], blk, nb)  # oob -> dropped
+    blk = jnp.where(attn.write_mask, blk, nb)  # oob -> dropped
+    blk = blk.reshape(-1)
+    off = off.reshape(-1)
     # updates for advanced dims (1: blk, 3: off) with slices (0: L, 2: NKV)
-    # -> shape [B, L, NKV, D]
-    kn = k_news.swapaxes(0, 1)
-    vn = v_news.swapaxes(0, 1)
+    # -> shape [B*T, L, NKV, D]
+    kn = k_news.transpose(1, 2, 0, 3, 4).reshape(b * t, L, nkv, d)
+    vn = v_news.transpose(1, 2, 0, 3, 4).reshape(b * t, L, nkv, d)
     if cache.quantized:
         kq, ksc = quantize_kv(kn)
         vq, vsc = quantize_kv(vn)

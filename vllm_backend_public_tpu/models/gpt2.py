@@ -22,7 +22,10 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn_impl: str = "xla"):
     x = params["embed"][tokens] + params["pos_embed"][attn.positions]
     layers = params["layers"]
-    defer = tokens.shape[1] == 1
+    # deferred single-scatter writes for decode always, and for
+    # prefill when the cache is unquantized (int8-KV prefill keeps
+    # the per-layer quantize+write path)
+    defer = tokens.shape[1] == 1 or not cache.quantized
     cache_arrays = tuple(a for a in cache if a is not None)
 
     def body(x, per_layer):

@@ -38,8 +38,8 @@ def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, l_ref,
                    acc_ref, m_s, l_s, *, bs: int, scale: float):
     b = pl.program_id(0)
-    i = pl.program_id(1)
-    mb = pl.num_programs(1)
+    i = pl.program_id(2)
+    mb = pl.num_programs(2)
     kv_len = kl_ref[b]
 
     @pl.when(i == 0)
@@ -78,24 +78,40 @@ def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
         l_ref[0] = l_s[:]
 
 
+def _pick_qtile(rows: int) -> int:
+    # 128 rows keeps the f32 accumulator + double-buffered out blocks well
+    # under the 16MB VMEM scoped limit (512 rows measured 16.47MB — OOM)
+    for cand in (128, 64, 32, 16, 8):
+        if rows % cand == 0:
+            return cand
+    return rows
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False):
     """Unnormalized flash attention over cached prefix pages.
 
-    q: [B, NH, D] -> (acc [B, NH, D] f32, m [B, NH, 1] f32, l [B, NH, 1]
-    f32) with softmax(s)·V = acc/l at running max m. Rows with
-    prefix_len == 0 return (0, -inf, 0).
+    q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
+    chunked prefill (every row attends the whole prefix — valid because
+    all prefix positions precede the chunk). Returns
+    (acc [B, R, D] f32, m [B, R, 1], l [B, R, 1]): softmax·V = acc/l at
+    running max m. Rows with prefix_len == 0 return (0, -inf, 0).
+
+    Large R is tiled on a third grid axis (VMEM-bounded); pages are
+    re-streamed per query tile.
     """
-    b, nh, d = q.shape
+    b, r, d = q.shape
     nb_pool, nkv, bs, _ = k_pages.shape
     mb = block_tables.shape[1]
-    g = nh // nkv
+    g = r // nkv
     qg = q.reshape(b, nkv, g, d)
+    qt = _pick_qtile(g)
+    nqt = g // qt
 
     flat_bt = block_tables.reshape(-1)
 
-    def page_index(bi, ii, bt, kl):
+    def page_index(bi, qi, ii, bt, kl):
         # clamp OOB steps to the last valid page so Mosaic's pipeline
         # skips the duplicate fetch (same index => no new DMA)
         kv_len = kl[bi]
@@ -103,27 +119,26 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         ii = jnp.minimum(ii, last)
         return (bt[bi * mb + ii], 0, 0, 0)
 
+    def q_index(bi, qi, ii, bt, kl):
+        return (bi, 0, qi, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # block_tables, prefix_lens
-        grid=(b, mb),
+        grid=(b, nqt, mb),
         in_specs=[
-            pl.BlockSpec((1, nkv, g, d), lambda bi, ii, bt, kl:
-                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, qt, d), q_index),
             pl.BlockSpec((1, nkv, bs, d), page_index),
             pl.BlockSpec((1, nkv, bs, d), page_index),
         ],
         out_specs=(
-            pl.BlockSpec((1, nkv, g, d), lambda bi, ii, bt, kl:
-                         (bi, 0, 0, 0)),
-            pl.BlockSpec((1, nkv, g, 1), lambda bi, ii, bt, kl:
-                         (bi, 0, 0, 0)),
-            pl.BlockSpec((1, nkv, g, 1), lambda bi, ii, bt, kl:
-                         (bi, 0, 0, 0)),
+            pl.BlockSpec((1, nkv, qt, d), q_index),
+            pl.BlockSpec((1, nkv, qt, 1), q_index),
+            pl.BlockSpec((1, nkv, qt, 1), q_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nkv, g, d), jnp.float32),
-            pltpu.VMEM((nkv, g, 1), jnp.float32),
-            pltpu.VMEM((nkv, g, 1), jnp.float32),
+            pltpu.VMEM((nkv, qt, d), jnp.float32),
+            pltpu.VMEM((nkv, qt, 1), jnp.float32),
+            pltpu.VMEM((nkv, qt, 1), jnp.float32),
         ],
     )
 
@@ -136,10 +151,10 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(flat_bt, prefix_lens, qg, k_pages, v_pages)
-    return (acc.reshape(b, nh, d), m.reshape(b, nh, 1), l.reshape(b, nh, 1))
+    return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))
 
 
 def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
@@ -175,6 +190,79 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
     l_tot = lr * alpha + p1
     out = (accr * alpha + p1 * vf[:, :, None, :]) / l_tot
     return out.reshape(b, nh, d).astype(q.dtype)
+
+
+def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
+                                     block_tables, prefix_lens, write_mask,
+                                     scale: float, interpret: bool = False,
+                                     use_kernel: bool = True):
+    """Chunked-prefill attention WITHOUT writing the cache.
+
+    q, k_chunk, v_chunk: [B, T, NH|NKV, D] — the current chunk (global
+    positions prefix_lens[b] .. prefix_lens[b]+T). Attention = streamed
+    prefix pages (Pallas kernel, no gather) merged with in-chunk causal
+    attention (XLA; T x T fits VMEM/MXU comfortably).
+    write_mask: [B, T] — padding rows produce garbage but are masked as
+    keys. Returns [B, T, NH, D].
+    """
+    b, t, nh, d = q.shape
+    nkv = k_chunk.shape[2]
+    g = nh // nkv
+
+    # ---- prefix part: flatten (T, G) query rows per kv head ------------
+    # [B, T, NKV, G, D] -> [B, NKV, T*G, D]
+    qr = q.reshape(b, t, nkv, g, d).transpose(0, 2, 1, 3, 4) \
+        .reshape(b, nkv * t * g, d)
+    if use_kernel:
+        acc1, m1, l1 = paged_prefix_attention(
+            qr, k_pages, v_pages, block_tables, prefix_lens, scale,
+            interpret=interpret)
+    else:
+        from ..models.common import gather_pages
+
+        kp = gather_pages(k_pages, block_tables)  # [B, NKV, CTX, D]
+        vp = gather_pages(v_pages, block_tables)
+        qg = qr.reshape(b, nkv, t * g, d).astype(jnp.float32)
+        s = jnp.einsum("bkrd,bkcd->bkrc", qg, kp.astype(jnp.float32)) * scale
+        ctx = kp.shape[2]
+        valid = (jnp.arange(ctx)[None, :] < prefix_lens[:, None])
+        s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+        m1 = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m1)
+        l1 = jnp.sum(p, axis=-1, keepdims=True)
+        acc1 = jnp.einsum("bkrc,bkcd->bkrd", p, vp.astype(jnp.float32))
+        acc1 = acc1.reshape(b, nkv * t * g, d)
+        m1 = m1.reshape(b, nkv * t * g, 1)
+        l1 = l1.reshape(b, nkv * t * g, 1)
+    # back to [B, NKV, T, G, D]-aligned layout
+    acc1 = acc1.reshape(b, nkv, t, g, d)
+    m1 = m1.reshape(b, nkv, t, g, 1)
+    l1 = l1.reshape(b, nkv, t, g, 1)
+
+    # ---- in-chunk causal part (XLA) ------------------------------------
+    qg = q.reshape(b, t, nkv, g, d).astype(jnp.float32)
+    kc = k_chunk.astype(jnp.float32)
+    vc = v_chunk.astype(jnp.float32)
+    s2 = jnp.einsum("btkgd,bukd->bktgu", qg, kc) * scale  # [B,NKV,T,G,T]
+    row = jnp.arange(t, dtype=jnp.int32)
+    causal = row[None, :, None] >= row[None, None, :]      # [1, T, T] q>=k
+    keymask = write_mask[:, None, :]                       # [B, 1, T]
+    mask = causal & keymask                                # [B, T, T]
+    s2 = jnp.where(mask[:, None, :, None, :], s2, NEG_INF)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)               # [B,NKV,T,G,1]
+    p2 = jnp.exp(s2 - m2)
+    l2 = jnp.sum(p2, axis=-1, keepdims=True)
+    acc2 = jnp.einsum("bktgu,bukd->bktgd", p2, vc)
+
+    # ---- merge ----------------------------------------------------------
+    m_tot = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m_tot)
+    a2 = jnp.exp(m2 - m_tot)
+    l_tot = l1 * a1 + l2 * a2
+    out = (acc1 * a1 + acc2 * a2) / jnp.maximum(l_tot, 1e-30)
+    # [B, NKV, T, G, D] -> [B, T, NH, D]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b, t, nh, d)
+    return out.astype(q.dtype)
 
 
 def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
