@@ -1,0 +1,132 @@
+"""Engine-manager scenario tests — the reference's curl test points as
+real tests (reference: benchmark-vllm/configs/test_scenario*.yaml +
+README test-point list):
+
+1. reuse: identical config re-deployed -> same engine reused
+2. conflict: same name, different config -> cleanup-and-replace
+3. TPU resource conflict: over-requesting chips -> rejected
+Plus: deployer PTY terminal over WebSocket, config validation endpoint.
+"""
+
+import asyncio
+import os
+
+import pytest
+import yaml
+from aiohttp.test_utils import TestClient, TestServer
+
+from vllm_backend_public_tpu.services.common.procman import ProcessManager
+from vllm_backend_public_tpu.services.deployer.service import DeployerService
+from vllm_backend_public_tpu.services.engine_manager.service import (
+    EngineManagerService)
+
+CONFIGS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def load_cfg(name):
+    with open(os.path.join(CONFIGS, name)) as f:
+        return yaml.safe_load(f)
+
+
+def test_scenario_reuse_and_conflict(tmp_path):
+    os.environ["ENGINE_READY_TIMEOUT"] = "120"
+    os.environ["ENGINE_RETRY_DELAY"] = "0.5"
+
+    async def main():
+        em = EngineManagerService(autostart_scheduler=False,
+                                  procman=ProcessManager(
+                                      log_dir=str(tmp_path),
+                                      total_tpu_chips=8))
+        async with TestClient(TestServer(em.build_app())) as c:
+            cfg1 = load_cfg("test_scenario1_reuse.yaml")
+            r = await c.post("/deploy", json={"engine_config": cfg1})
+            assert r.status == 200
+            d1 = await r.json()
+            assert d1["status"] == "deploying"
+            # wait ready
+            ok = await em.engines.wait_ready(d1["name"])
+            assert ok
+
+            # scenario 1: identical config -> reuse
+            r = await c.post("/deploy", json={"engine_config": cfg1})
+            d2 = await r.json()
+            assert d2["status"] == "reused"
+            assert d2["endpoint"] == d1["endpoint"]
+
+            # scenario 2: same served name, different config -> replace
+            cfg2 = load_cfg("test_scenario2_conflict.yaml")
+            r = await c.post("/deploy", json={"engine_config": cfg2})
+            d3 = await r.json()
+            assert d3["name"] == d1["name"]  # deterministic release name
+            assert d3["status"] == "deploying"
+            assert d3["endpoint"] != d1["endpoint"]
+            assert await em.engines.wait_ready(d3["name"])
+            # only one engine process exists
+            engines = [p for p in em.procman.list() if p.kind == "engine"]
+            assert len([p for p in engines if p.status == "running"]) == 1
+
+            # scenario 3: TPU chip conflict -> rejected with clear error
+            cfg3 = load_cfg("test_scenario3_tpu_conflict.yaml")
+            r = await c.post("/deploy", json={"engine_config": cfg3})
+            assert r.status == 400
+            assert "TPU resource conflict" in (await r.json())["detail"]
+
+            # config validation endpoint
+            r = await c.post("/configs/validate", json={
+                "engine_config": {"model": "x", "block_size": 16}})
+            assert (await r.json())["valid"] is True
+            r = await c.post("/configs/validate", json={
+                "engine_config": {"dtype": "float99"}})
+            body = await r.json()
+            # normalization succeeds (dtype checked at engine start);
+            # endpoint must respond deterministically either way
+            assert "valid" in body
+
+            # configs listing includes the scenario files
+            r = await c.get("/configs")
+            names = (await r.json())["configs"]
+            assert "test_scenario1_reuse.yaml" in names
+
+            # teardown
+            r = await c.delete(f"/deployments/{d1['name']}")
+            assert r.status == 200
+
+    run(main())
+
+
+def test_deployer_terminal_websocket(tmp_path):
+    async def main():
+        dep = DeployerService(procman=ProcessManager(log_dir=str(tmp_path)))
+        async with TestClient(TestServer(dep.build_app())) as c:
+            r = await c.post("/terminal/create", json={})
+            assert r.status == 200
+            sid = (await r.json())["session_id"]
+
+            ws = await c.ws_connect(f"/terminal/{sid}")
+            await ws.send_str("echo tpu_$((40+2))\n")
+            seen = ""
+            for _ in range(50):
+                try:
+                    msg = await ws.receive(timeout=0.5)
+                except asyncio.TimeoutError:
+                    continue
+                if msg.type.name == "TEXT":
+                    seen += msg.data
+                if "tpu_42" in seen:
+                    break
+            assert "tpu_42" in seen, seen[-500:]
+            await ws.close()
+
+            r = await c.get("/terminal/sessions")
+            assert len((await r.json())["sessions"]) == 1
+            r = await c.delete(f"/terminal/{sid}")
+            assert r.status == 200
+            r = await c.delete(f"/terminal/{sid}")
+            assert r.status == 404
+
+    run(main())
