@@ -99,8 +99,10 @@ def random_params_on_device(cfg, quant):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama8b")
-    ap.add_argument("--quant", default="int8",
-                    choices=["none", "int8", "w8a8", "fp8", "int4"])
+    ap.add_argument("--quant", default="w8a8",
+                    choices=["none", "int8", "w8a8", "fp8", "int4"],
+                    help="w8a8 (int8 weights + dynamic int8 activations) "
+                         "is the fastest int8 scheme on the MXU")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64,

@@ -291,15 +291,3 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))
     return out.reshape(b, nh, d).astype(q.dtype)
-
-
-def paged_attention(q, k_pages, v_pages, block_tables, kv_lens, positions,
-                    scale: float):
-    """Write-then-gather dispatch used by the non-deferred model path.
-
-    q: [B, T, NH, D]. kv_lens INCLUDE the already-written new tokens.
-    """
-    from ..models.common import paged_attention_xla
-
-    return paged_attention_xla(q, k_pages, v_pages, block_tables, kv_lens,
-                               positions, scale)

@@ -144,9 +144,11 @@ class OpenAIServer:
             return await self._stream_completion(request, prompts[0],
                                                  sampling, rid, priority)
 
+        n = max(int(body.get("n", 1)), 1)
+        expanded = [(p, j) for p in prompts for j in range(n)]
         choices = []
         usage_p = usage_c = 0
-        for i, p in enumerate(prompts):
+        for i, (p, _j) in enumerate(expanded):
             prompt_ids = self._encode(p)
             lp_obj = None
             if sampling.max_tokens == 0:
@@ -155,8 +157,13 @@ class OpenAIServer:
                 if sampling.echo and sampling.logprobs is not None:
                     lp_obj = await self._prompt_logprobs(prompt_ids)
             else:
+                samp_i = sampling
+                if _j and sampling.seed is not None:
+                    import dataclasses
+                    samp_i = dataclasses.replace(sampling,
+                                                 seed=sampling.seed + _j)
                 text, finish, ntok, gen_lp = await self._collect(
-                    prompt_ids, sampling, f"{rid}-{i}", priority)
+                    prompt_ids, samp_i, f"{rid}-{i}", priority)
                 if sampling.logprobs is not None:
                     lp_obj = self._format_logprobs(gen_lp,
                                                    sampling.logprobs)
