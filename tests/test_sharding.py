@@ -71,3 +71,33 @@ def test_engine_tensor_parallel_matches_single(eight_cpu_devices):
     assert tp == ref
     tp_dp = run(tensor_parallel_size=2, data_parallel_size=2)
     assert tp_dp == ref
+
+
+def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
+    """Full engine with pipeline_parallel_size=2 (x TP=2) produces the
+    same greedy outputs as the unsharded engine — stages split the layer
+    stack and the KV pool, microbatches flow via ppermute
+    (parallel/pipeline.py)."""
+    from fixtures import tiny_llama_jax
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    cfg, params, _ = tiny_llama_jax(num_kv_heads=4, num_layers=4)
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (5, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="t", dtype="float32", block_size=8, max_num_seqs=2,
+                  max_model_len=64, num_kv_blocks=32,
+                  enable_prefix_caching=False)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    ref = run()
+    pp = run(pipeline_parallel_size=2, tensor_parallel_size=2)
+    assert pp == ref
+    pp_mb = run(pipeline_parallel_size=2, pipeline_microbatches=2)
+    assert pp_mb == ref

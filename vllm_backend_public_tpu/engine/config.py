@@ -35,6 +35,10 @@ class EngineConfig:
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     expert_parallel_size: int = 1
+    # microbatches in flight per pipelined step (0 = one per stage);
+    # per-step stage utilization is M/(M+S-1), so more is better up to
+    # max_num_seqs (parallel/pipeline.py)
+    pipeline_microbatches: int = 0
 
     # Execution
     attn_impl: str = "auto"              # "auto"|"xla"|"pallas"

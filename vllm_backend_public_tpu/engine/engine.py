@@ -62,24 +62,36 @@ class LLMEngine:
             self.attn_impl = ("pallas" if jax.default_backend() == "tpu"
                               else "xla")
 
-        # GSPMD mesh: shard params + cache when tp/dp/ep > 1 (XLA inserts
-        # the collectives; the reference's --tensor-parallel-size analog)
+        # GSPMD mesh: shard params + cache when tp/dp/ep/pp > 1 (XLA
+        # inserts the collectives; the reference's --tensor-parallel-size /
+        # --pipeline-parallel-size analog)
         self.mesh = None
+        pp = econfig.pipeline_parallel_size
         world = (econfig.tensor_parallel_size * econfig.data_parallel_size
-                 * econfig.expert_parallel_size)
+                 * econfig.expert_parallel_size * pp)
         if world > 1:
             from ..parallel.mesh import make_mesh
             from ..parallel.sharding import shard_params
+            if pp > 1 and econfig.data_parallel_size > 1:
+                raise ValueError("pipeline_parallel composes with tp/ep; "
+                                 "run data-parallel replicas as separate "
+                                 "engine processes (parallel/pipeline.py)")
+            if pp > 1 and model_cfg.num_layers % pp:
+                raise ValueError(
+                    f"num_layers {model_cfg.num_layers} not divisible by "
+                    f"pipeline_parallel_size {pp}")
             self.mesh = make_mesh(
                 tensor_parallel=econfig.tensor_parallel_size,
                 data_parallel=econfig.data_parallel_size,
-                expert_parallel=econfig.expert_parallel_size)
+                expert_parallel=econfig.expert_parallel_size,
+                pipeline_parallel=pp)
             if model_cfg.num_kv_heads % econfig.tensor_parallel_size:
                 raise ValueError(
                     f"num_kv_heads {model_cfg.num_kv_heads} not divisible "
                     f"by tensor_parallel_size "
                     f"{econfig.tensor_parallel_size}")
-            self.params = shard_params(self.params, self.mesh, model_cfg)
+            self.params = shard_params(self.params, self.mesh, model_cfg,
+                                       pipelined=pp > 1)
             # Pallas kernels are single-device programs; under GSPMD use
             # the XLA attention path and let the partitioner slice it
             self.attn_impl = "xla"
@@ -95,7 +107,7 @@ class LLMEngine:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.sharding import kv_cache_spec
-            spec5 = kv_cache_spec()
+            spec5 = kv_cache_spec(pipelined=pp > 1)
             sh5 = NamedSharding(self.mesh, spec5)
             sh4 = NamedSharding(self.mesh, PartitionSpec(*spec5[:-1]))
             self.cache = KVCache(
@@ -178,6 +190,12 @@ class LLMEngine:
     def _build_device_fns(self):
         cfg = self.model_cfg
         fwd = self.family.forward_hidden
+        if self.econfig.pipeline_parallel_size > 1:
+            from ..parallel.pipeline import make_forward_hidden
+            fwd = make_forward_hidden(
+                self.mesh, self.family,
+                self.econfig.pipeline_microbatches)
+        self._fwd = fwd
         logits_fn = self.family.logits_from_hidden
         impl = self.attn_impl
         B = self._B
@@ -508,6 +526,7 @@ class LLMEngine:
         bs = e.block_size
         mb = -(-bucket // bs)
         fam = self.family
+        fwd = self._fwd
 
         def score_fn(params, tokens, length):
             cache = init_kv_cache(cfg, mb + 1, bs, dtype=e.kv_jnp_dtype())
@@ -516,8 +535,8 @@ class LLMEngine:
                 kv_lens=jnp.asarray([length], jnp.int32),
                 positions=jnp.arange(bucket, dtype=jnp.int32)[None, :],
                 write_mask=(jnp.arange(bucket) < length)[None, :])
-            hidden, _ = fam.forward_hidden(params, cfg, tokens, attn, cache,
-                                           attn_impl=self.attn_impl)
+            hidden, _ = fwd(params, cfg, tokens, attn, cache,
+                            attn_impl=self.attn_impl)
             logits = fam.logits_from_hidden(params, hidden)[0]
             logp = jax.nn.log_softmax(logits[:-1], axis=-1)
             tgt = tokens[0, 1:]

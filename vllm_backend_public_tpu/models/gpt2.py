@@ -17,16 +17,12 @@ from .common import (AttnInputs, KVCache, attention_block, layer_norm,
                      write_kv_all_layers)
 
 
-def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
-                   attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
-    x = params["embed"][tokens] + params["pos_embed"][attn.positions]
-    layers = params["layers"]
-    # deferred single-scatter writes for decode always, and for
-    # prefill when the cache is unquantized (int8-KV prefill keeps
-    # the per-layer quantize+write path)
-    defer = tokens.shape[1] == 1 or not cache.quantized
-    cache_arrays = tuple(a for a in cache if a is not None)
+def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
+                cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
+                defer: bool = True):
+    """Layer scan over (a shard of) the stacked layers — see
+    models/llama.py:scan_layers for the contract. cos/sin unused (GPT-2
+    has learned position embeddings, no RoPE)."""
 
     def body(x, per_layer):
         layer, kv = per_layer[0], per_layer[1:]
@@ -41,7 +37,21 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
         x = x + matmul(h, layer["w_proj"]) + layer["b_proj"]
         return x, ((k_new, v_new) if defer else kv)
 
-    x, ys = jax.lax.scan(body, x, (layers,) + cache_arrays)
+    return jax.lax.scan(body, x, (layers,) + cache_arrays)
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    x = params["embed"][tokens] + params["pos_embed"][attn.positions]
+    # deferred single-scatter writes for decode always, and for
+    # prefill when the cache is unquantized (int8-KV prefill keeps
+    # the per-layer quantize+write path)
+    defer = tokens.shape[1] == 1 or not cache.quantized
+    cache_arrays = tuple(a for a in cache if a is not None)
+
+    x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
+                        None, None, attn_impl, defer)
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:
@@ -49,6 +59,19 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     x = layer_norm(x, params["final_norm_w"], params["final_norm_b"],
                    cfg.layer_norm_eps)
     return x, cache
+
+
+USES_ROPE = False
+
+
+def embed_tokens(params, cfg: ModelConfig, tokens: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    return params["embed"][tokens] + params["pos_embed"][positions]
+
+
+def finalize_hidden(params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    return layer_norm(x, params["final_norm_w"], params["final_norm_b"],
+                      cfg.layer_norm_eps)
 
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:

@@ -19,24 +19,18 @@ from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
 
 
-def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
-                   attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
-    """tokens: [B, T] -> hidden states [B, T, H], updated KVCache.
+def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
+                cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
+                defer: bool = True):
+    """One `lax.scan` over the stacked decoder layers.
 
-    Decode (T==1) defers all KV-cache writes to one post-scan scatter;
-    prefill uses write-then-gather inside the scan (see
-    common.attention_block for why).
+    x: [B, T, H]; cache_arrays: this scan's per-layer cache arrays, each
+    stacked on a leading layer axis (the FULL depth normally; a
+    pipeline-parallel stage passes its local [L/S, ...] shard —
+    parallel/pipeline.py). Returns (x, ys): ys = (k_news, v_news) stacked
+    over the scanned layers when `defer` (caller scatters once), else the
+    updated cache arrays.
     """
-    x = params["embed"][tokens]  # [B, T, H]
-    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
-
-    layers = params["layers"]
-    # deferred single-scatter writes for decode always, and for
-    # prefill when the cache is unquantized (int8-KV prefill keeps
-    # the per-layer quantize+write path)
-    defer = tokens.shape[1] == 1 or not cache.quantized
-    cache_arrays = tuple(a for a in cache if a is not None)
 
     def body(x, per_layer):
         layer, kv = per_layer[0], per_layer[1:]
@@ -51,13 +45,47 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
         x = x + matmul(gate * up, layer["wd"])
         return x, ((k_new, v_new) if defer else kv)
 
-    x, ys = jax.lax.scan(body, x, (layers,) + cache_arrays)
+    return jax.lax.scan(body, x, (layers,) + cache_arrays)
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    """tokens: [B, T] -> hidden states [B, T, H], updated KVCache.
+
+    Decode (T==1) defers all KV-cache writes to one post-scan scatter;
+    prefill uses write-then-gather inside the scan (see
+    common.attention_block for why).
+    """
+    x = params["embed"][tokens]  # [B, T, H]
+    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
+
+    # deferred single-scatter writes for decode always, and for
+    # prefill when the cache is unquantized (int8-KV prefill keeps
+    # the per-layer quantize+write path)
+    defer = tokens.shape[1] == 1 or not cache.quantized
+    cache_arrays = tuple(a for a in cache if a is not None)
+
+    x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
+                        cos, sin, attn_impl, defer)
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:
         cache = KVCache(*ys)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, cache
+
+
+USES_ROPE = True
+
+
+def embed_tokens(params, cfg: ModelConfig, tokens: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    return params["embed"][tokens]
+
+
+def finalize_hidden(params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:

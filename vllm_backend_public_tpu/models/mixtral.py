@@ -43,17 +43,11 @@ def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
     return jnp.einsum("bteh,bte->bth", ye, gates.astype(x.dtype))
 
 
-def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
-                   attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
-    x = params["embed"][tokens]
-    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
-    layers = params["layers"]
-    # deferred single-scatter writes for decode always, and for
-    # prefill when the cache is unquantized (int8-KV prefill keeps
-    # the per-layer quantize+write path)
-    defer = tokens.shape[1] == 1 or not cache.quantized
-    cache_arrays = tuple(a for a in cache if a is not None)
+def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
+                cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
+                defer: bool = True):
+    """Layer scan over (a shard of) the stacked layers — see
+    models/llama.py:scan_layers for the contract."""
 
     def body(x, per_layer):
         layer, kv = per_layer[0], per_layer[1:]
@@ -66,13 +60,40 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
         x = x + moe_mlp(h, layer, cfg)
         return x, ((k_new, v_new) if defer else kv)
 
-    x, ys = jax.lax.scan(body, x, (layers,) + cache_arrays)
+    return jax.lax.scan(body, x, (layers,) + cache_arrays)
+
+
+def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
+                   attn: AttnInputs, cache: KVCache,
+                   attn_impl: str = "xla"):
+    x = params["embed"][tokens]
+    cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
+    # deferred single-scatter writes for decode always, and for
+    # prefill when the cache is unquantized (int8-KV prefill keeps
+    # the per-layer quantize+write path)
+    defer = tokens.shape[1] == 1 or not cache.quantized
+    cache_arrays = tuple(a for a in cache if a is not None)
+
+    x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
+                        cos, sin, attn_impl, defer)
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:
         cache = KVCache(*ys)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, cache
+
+
+USES_ROPE = True
+
+
+def embed_tokens(params, cfg: ModelConfig, tokens: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    return params["embed"][tokens]
+
+
+def finalize_hidden(params, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
 def logits_from_hidden(params, hidden: jax.Array) -> jax.Array:

@@ -8,10 +8,13 @@ XLA compiles collectives onto ICI within a slice and DCN across slices;
 there is no separate comm library to configure.
 
 Axis convention (order matters — outermost varies slowest over DCN):
-  ("data", "expert", "model")
+  ("pipe", "data", "expert", "model")
 - "model": tensor parallelism, innermost => rides ICI.
 - "expert": expert parallelism for MoE (1 for dense models).
 - "data": engine-replica data parallelism; decode batch + KV pool shard.
+- "pipe": pipeline stages, outermost => stage hops cross DCN between
+  hosts (parallel/pipeline.py; reference passthrough:
+  --pipeline-parallel-size, benchmark-vllm/vllm_templates.py:56).
 """
 
 from __future__ import annotations
@@ -22,19 +25,20 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "expert", "model")
+AXES = ("pipe", "data", "expert", "model")
 
 
 def make_mesh(tensor_parallel: int = 1, data_parallel: int = 1,
-              expert_parallel: int = 1,
+              expert_parallel: int = 1, pipeline_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    need = tensor_parallel * data_parallel * expert_parallel
+    need = (tensor_parallel * data_parallel * expert_parallel
+            * pipeline_parallel)
     if need > len(devices):
         raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
     devices = devices[:need]
-    arr = np.array(devices).reshape(data_parallel, expert_parallel,
-                                    tensor_parallel)
+    arr = np.array(devices).reshape(pipeline_parallel, data_parallel,
+                                    expert_parallel, tensor_parallel)
     return Mesh(arr, AXES)
 
 

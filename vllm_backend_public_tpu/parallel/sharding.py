@@ -61,19 +61,27 @@ def mixtral_param_specs(cfg: ModelConfig) -> Dict:
     return specs
 
 
-def kv_cache_spec() -> P:
-    # [L, num_blocks, num_kv_heads, block_size, head_dim]
-    return P(None, "data", "model", None, None)
+def kv_cache_spec(pipelined: bool = False) -> P:
+    # [L, num_blocks, num_kv_heads, block_size, head_dim]; under pipeline
+    # parallelism each stage owns its layers' pages
+    return P("pipe" if pipelined else None, "data", "model", None, None)
 
 
-def param_specs(cfg: ModelConfig) -> Dict:
+def param_specs(cfg: ModelConfig, pipelined: bool = False) -> Dict:
     if cfg.arch in ("llama", "qwen2"):
-        return llama_param_specs(cfg)
-    if cfg.arch == "mixtral":
-        return mixtral_param_specs(cfg)
-    if cfg.arch == "gpt2":
-        return gpt2_param_specs(cfg)
-    raise ValueError(cfg.arch)
+        specs = llama_param_specs(cfg)
+    elif cfg.arch == "mixtral":
+        specs = mixtral_param_specs(cfg)
+    elif cfg.arch == "gpt2":
+        specs = gpt2_param_specs(cfg)
+    else:
+        raise ValueError(cfg.arch)
+    if pipelined:
+        # stacked [L, ...] layer params split across pipeline stages;
+        # embed/norms/lm_head stay replicated over "pipe"
+        specs["layers"] = {k: P("pipe", *s[1:])
+                           for k, s in specs["layers"].items()}
+    return specs
 
 
 def gpt2_param_specs(cfg: ModelConfig) -> Dict:
@@ -95,9 +103,10 @@ def gpt2_param_specs(cfg: ModelConfig) -> Dict:
     }
 
 
-def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+def shard_params(params, mesh: Mesh, cfg: ModelConfig,
+                 pipelined: bool = False):
     """Place a param pytree onto the mesh with the family's specs."""
-    specs = param_specs(cfg)
+    specs = param_specs(cfg, pipelined=pipelined)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs, is_leaf=lambda x: isinstance(x, P))
