@@ -38,6 +38,9 @@ class ModelConfig:
     experts_per_token: int = 0
     # gpt2 family
     layer_norm_eps: float = 1e-5
+    # sliding-window attention (Mistral-style): a query at position p
+    # attends keys at positions (p - sliding_window, p]; None = full
+    sliding_window: Optional[int] = None
     # bos/eos for generation control
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple = field(default_factory=tuple)
@@ -57,7 +60,7 @@ class ModelConfig:
 
 _LLAMA_LIKE = {
     "LlamaForCausalLM": "llama",
-    "MistralForCausalLM": "llama",  # same compute graph (sliding window ignored at short ctx)
+    "MistralForCausalLM": "llama",  # same graph; sliding_window honored
     "Qwen2ForCausalLM": "qwen2",
     "MixtralForCausalLM": "mixtral",
 }
@@ -132,6 +135,7 @@ def parse_hf_config(cfg: dict) -> ModelConfig:
         qkv_bias=(arch == "qwen2" and cfg.get("attention_bias", True) is not False),
         num_experts=cfg.get("num_local_experts", 0) if arch == "mixtral" else 0,
         experts_per_token=cfg.get("num_experts_per_tok", 0) if arch == "mixtral" else 0,
+        sliding_window=cfg.get("sliding_window"),
         bos_token_id=cfg.get("bos_token_id"),
         eos_token_ids=_eos_tuple(cfg.get("eos_token_id")),
     )

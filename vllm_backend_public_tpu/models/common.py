@@ -177,13 +177,15 @@ def gather_pages(pages: jax.Array, block_tables: jax.Array,
 def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                         block_tables: jax.Array, kv_lens: jax.Array,
                         q_positions: jax.Array, scale: float,
-                        k_scale=None, v_scale=None) -> jax.Array:
+                        k_scale=None, v_scale=None,
+                        window: Optional[int] = None) -> jax.Array:
     """Reference paged attention via gather (exact, XLA-only).
 
     q: [B, T, NH, D] (already includes RoPE); k_pages/v_pages: [NB, NKV, BS, D];
     block_tables: [B, MB]; kv_lens: [B] (valid cache length incl. new tokens);
     q_positions: [B, T] global positions of the query tokens.
-    Returns [B, T, NH, D].
+    window: sliding-window size (keys at positions (p - window, p]); None
+    = full attention. Returns [B, T, NH, D].
     """
     b, t, nh, d = q.shape
     nb, nkv, bs, _ = k_pages.shape
@@ -202,6 +204,8 @@ def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     valid = kv_pos < kv_lens[:, None]  # [B, CTX]
     causal = kv_pos[:, None, :] <= q_positions[:, :, None]  # [B, T, CTX]
     mask = valid[:, None, :] & causal  # broadcast -> [B, T, CTX]
+    if window is not None:
+        mask &= kv_pos[:, None, :] > q_positions[:, :, None] - window
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     # guard fully-masked rows (padding queries): softmax(-inf row) -> nan
@@ -259,6 +263,7 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     scale = 1.0 / math.sqrt(d)
     ks = kv[2] if len(kv) == 4 else None
     vs = kv[3] if len(kv) == 4 else None
+    window = cfg.sliding_window
 
     use_kernel = (attn_impl == "pallas" and d % 128 == 0
                   and jax.default_backend() == "tpu")
@@ -271,11 +276,11 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         if use_kernel:
             out = decode_attention_deferred(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks, v_scale=vs)
+                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window)
         else:
             out = decode_attention_deferred_xla(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks, v_scale=vs)
+                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window)
         out = out[:, None]
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
@@ -290,7 +295,7 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         prefix_lens = attn.positions[:, 0]  # chunk starts here
         out = chunk_prefill_attention_deferred(
             q, k, v, kv[0], kv[1], attn.block_tables, prefix_lens,
-            attn.write_mask, scale, use_kernel=use_kernel)
+            attn.write_mask, scale, use_kernel=use_kernel, window=window)
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
             out = out + layer["bo"]
@@ -305,7 +310,7 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
 
     out = paged_attention_xla(q, kv[0], kv[1], attn.block_tables,
                               attn.kv_lens, attn.positions, scale,
-                              k_scale=ks, v_scale=vs)
+                              k_scale=ks, v_scale=vs, window=window)
 
     out = matmul(out.reshape(b, t, nh * d), layer["wo"])
     if "bo" in layer:

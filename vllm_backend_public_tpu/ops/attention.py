@@ -36,7 +36,8 @@ NEG_INF = -1e30
 
 def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
                    o_ref, m_ref, l_ref,
-                   acc_ref, m_s, l_s, *, bs: int, scale: float):
+                   acc_ref, m_s, l_s, *, bs: int, scale: float,
+                   window=None):
     b = pl.program_id(0)
     i = pl.program_id(2)
     mb = pl.num_programs(2)
@@ -49,8 +50,14 @@ def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     valid = kv_len - i * bs
+    process = valid > 0
+    if window is not None:
+        # sliding window (decode: every query row sits at position
+        # kv_len): cache keys valid iff pos > kv_len - window; skip pages
+        # entirely below the window
+        process &= (i * bs + bs - 1) > (kv_len - window)
 
-    @pl.when(valid > 0)
+    @pl.when(process)
     def _():
         q = q_ref[0].astype(jnp.float32)           # [NKV, G, D]
         k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
@@ -59,7 +66,10 @@ def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < valid, s, NEG_INF)
+        keep = col < valid
+        if window is not None:
+            keep &= (col + i * bs) > (kv_len - window)
+        s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_s[:]                            # [NKV, G, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
@@ -87,9 +97,10 @@ def _pick_qtile(rows: int) -> int:
     return rows
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
-                           scale: float, interpret: bool = False):
+                           scale: float, interpret: bool = False,
+                           window=None):
     """Unnormalized flash attention over cached prefix pages.
 
     q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
@@ -97,6 +108,12 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     all prefix positions precede the chunk). Returns
     (acc [B, R, D] f32, m [B, R, 1], l [B, R, 1]): softmax·V = acc/l at
     running max m. Rows with prefix_len == 0 return (0, -inf, 0).
+
+    window: Mistral-style sliding window, DECODE semantics only (every
+    query row at position prefix_len): keys valid iff
+    pos > prefix_len - window. Pages fully below the window are skipped
+    (remapped => no DMA). Chunked prefill with a window uses the XLA
+    path (chunk_prefill_attention_deferred use_kernel=False).
 
     Large R is tiled on a third grid axis (VMEM-bounded); pages are
     re-streamed per query tile.
@@ -113,10 +130,15 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     def page_index(bi, qi, ii, bt, kl):
         # clamp OOB steps to the last valid page so Mosaic's pipeline
-        # skips the duplicate fetch (same index => no new DMA)
+        # skips the duplicate fetch (same index => no new DMA); with a
+        # sliding window also clamp below-window steps to the first
+        # in-window page
         kv_len = kl[bi]
         last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
         ii = jnp.minimum(ii, last)
+        if window is not None:
+            first = jnp.maximum((kv_len - window + 1) // bs, 0)
+            ii = jnp.maximum(ii, first)
         return (bt[bi * mb + ii], 0, 0, 0)
 
     def q_index(bi, qi, ii, bt, kl):
@@ -143,7 +165,7 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     )
 
     acc, m, l = pl.pallas_call(
-        functools.partial(_prefix_kernel, bs=bs, scale=scale),
+        functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -160,7 +182,7 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
                               block_tables, prefix_lens, scale: float,
                               interpret: bool = False,
-                              k_scale=None, v_scale=None):
+                              k_scale=None, v_scale=None, window=None):
     """Full decode attention WITHOUT writing the cache: prefix pages via
     the Pallas kernel + the new token's own KV merged in-register.
 
@@ -170,13 +192,13 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
         # int8 KV: dequant-in-kernel variant pending; use the XLA path
         return decode_attention_deferred_xla(
             q, k_new, v_new, k_pages, v_pages, block_tables, prefix_lens,
-            scale, k_scale=k_scale, v_scale=v_scale)
+            scale, k_scale=k_scale, v_scale=v_scale, window=window)
     b, nh, d = q.shape
     nkv = k_new.shape[1]
     g = nh // nkv
     acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
                                        prefix_lens, scale,
-                                       interpret=interpret)
+                                       interpret=interpret, window=window)
     qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
     kf = k_new.astype(jnp.float32)  # [B, NKV, D]
     vf = v_new.astype(jnp.float32)
@@ -195,7 +217,7 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
 def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
                                      block_tables, prefix_lens, write_mask,
                                      scale: float, interpret: bool = False,
-                                     use_kernel: bool = True):
+                                     use_kernel: bool = True, window=None):
     """Chunked-prefill attention WITHOUT writing the cache.
 
     q, k_chunk, v_chunk: [B, T, NH|NKV, D] — the current chunk (global
@@ -203,11 +225,14 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     prefix pages (Pallas kernel, no gather) merged with in-chunk causal
     attention (XLA; T x T fits VMEM/MXU comfortably).
     write_mask: [B, T] — padding rows produce garbage but are masked as
-    keys. Returns [B, T, NH, D].
+    keys. window: sliding-window size — per-row lower bounds, so the
+    prefix part takes the XLA path. Returns [B, T, NH, D].
     """
     b, t, nh, d = q.shape
     nkv = k_chunk.shape[2]
     g = nh // nkv
+    if window is not None:
+        use_kernel = False  # per-row window bounds not in the kernel yet
 
     # ---- prefix part: flatten (T, G) query rows per kv head ------------
     # [B, T, NKV, G, D] -> [B, NKV, T*G, D]
@@ -225,8 +250,18 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
         qg = qr.reshape(b, nkv, t * g, d).astype(jnp.float32)
         s = jnp.einsum("bkrd,bkcd->bkrc", qg, kp.astype(jnp.float32)) * scale
         ctx = kp.shape[2]
-        valid = (jnp.arange(ctx)[None, :] < prefix_lens[:, None])
-        s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+        cpos = jnp.arange(ctx)[None, :]                  # [1, CTX]
+        keep = cpos < prefix_lens[:, None]               # [B, CTX]
+        if window is not None:
+            # row r's query position = prefix_lens + r//G
+            qpos = (prefix_lens[:, None]
+                    + (jnp.arange(t * g) // g)[None, :])  # [B, T*G]
+            keep = (keep[:, None, :]
+                    & (cpos[:, None, :] > qpos[:, :, None] - window))
+            keep = keep[:, None, :, :]                   # [B, 1, R, CTX]
+        else:
+            keep = keep[:, None, None, :]                # [B, 1, 1, CTX]
+        s = jnp.where(keep, s, NEG_INF)
         m1 = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m1)
         l1 = jnp.sum(p, axis=-1, keepdims=True)
@@ -246,6 +281,10 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     s2 = jnp.einsum("btkgd,bukd->bktgu", qg, kc) * scale  # [B,NKV,T,G,T]
     row = jnp.arange(t, dtype=jnp.int32)
     causal = row[None, :, None] >= row[None, None, :]      # [1, T, T] q>=k
+    if window is not None:
+        # same-position offsets: q at row r, key at row u — in-window iff
+        # u > r - window (positions share the prefix offset)
+        causal = causal & (row[None, None, :] > row[None, :, None] - window)
     keymask = write_mask[:, None, :]                       # [B, 1, T]
     mask = causal & keymask                                # [B, T, T]
     s2 = jnp.where(mask[:, None, :, None, :], s2, NEG_INF)
@@ -267,7 +306,7 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
 
 def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
                                   block_tables, prefix_lens, scale: float,
-                                  k_scale=None, v_scale=None):
+                                  k_scale=None, v_scale=None, window=None):
     """XLA reference for the deferred decode path (gather-based).
 
     Supports int8 KV pages via per-(block, head, token) scales."""
@@ -287,6 +326,10 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
                    k.astype(jnp.float32)) * scale
     pos = jnp.arange(ctx + 1, dtype=jnp.int32)[None, :]
     valid = (pos < prefix_lens[:, None]) | (pos == ctx)
+    if window is not None:
+        # query position = prefix_lens; the new token (pos == ctx
+        # sentinel) is its own key and always in-window
+        valid &= (pos > prefix_lens[:, None] - window) | (pos == ctx)
     s = jnp.where(valid[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))
