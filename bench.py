@@ -103,6 +103,9 @@ def main():
                     choices=["none", "int8", "w8a8", "fp8", "int4"],
                     help="w8a8 (int8 weights + dynamic int8 activations) "
                          "is the fastest int8 scheme on the MXU")
+    ap.add_argument("--kv-dtype", default=None,
+                    choices=[None, "auto", "int8"],
+                    help="int8 = quantized KV cache (dequant in-kernel)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64,
@@ -128,6 +131,7 @@ def main():
     mb = args.max_model_len // 16
     econ = EngineConfig(
         model=args.model, dtype="bfloat16", quantization=quant,
+        kv_cache_dtype=args.kv_dtype,
         block_size=16, max_num_seqs=B, max_model_len=args.max_model_len,
         max_num_batched_tokens=args.prompt_len,
         num_kv_blocks=B * mb + 1,

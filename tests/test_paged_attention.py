@@ -60,6 +60,28 @@ def test_deferred_decode_matches_write_then_gather(nh, nkv, d):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_deferred_decode_int8_kv_in_kernel():
+    """int8-KV dequant inside the Pallas kernel == XLA dequant-gather."""
+    from vllm_backend_public_tpu.models.common import quantize_kv
+
+    B, MB, BS, NB, nh, nkv, d = 4, 4, 16, 32, 8, 2, 64
+    prefix = [7, BS * 2, BS * MB - 1, 0]
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, prefix, seed=3)
+    scale = 1.0 / np.sqrt(d)
+    # quantize pages per-(page, head, token): [NB, NKV, BS, D] -> int8+scales
+    kq, ks = quantize_kv(k_pages)
+    vq, vs = quantize_kv(v_pages)
+
+    ref = decode_attention_deferred_xla(q, k_new, v_new, kq, vq, bt, pl_,
+                                        scale, k_scale=ks, v_scale=vs)
+    out = decode_attention_deferred(q, k_new, v_new, kq, vq, bt, pl_,
+                                    scale, interpret=True,
+                                    k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_prefix_kernel_unnormalized_state():
     """acc/l at running max m reconstructs softmax attention over prefix."""
     B, MB, BS, NB, nh, nkv, d = 2, 2, 16, 8, 4, 2, 64

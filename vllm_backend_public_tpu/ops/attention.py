@@ -34,10 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
-                   o_ref, m_ref, l_ref,
-                   acc_ref, m_s, l_s, *, bs: int, scale: float,
-                   window=None):
+def _prefix_kernel(bt_ref, kl_ref, *refs, bs: int, scale: float,
+                   window=None, quant: bool = False):
+    if quant:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref,
+         o_ref, m_ref, l_ref, acc_ref, m_s, l_s) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     i = pl.program_id(2)
     mb = pl.num_programs(2)
@@ -62,6 +66,11 @@ def _prefix_kernel(bt_ref, kl_ref, q_ref, k_ref, v_ref,
         q = q_ref[0].astype(jnp.float32)           # [NKV, G, D]
         k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
         v = v_ref[0].astype(jnp.float32)
+        if quant:
+            # int8 pages dequantized in VMEM: per-(page, head, token)
+            # scales; DMA traffic stays 1 byte/elem
+            k = k * ks_ref[0][..., None]
+            v = v * vs_ref[0][..., None]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
@@ -100,7 +109,7 @@ def _pick_qtile(rows: int) -> int:
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
-                           window=None):
+                           window=None, k_scale=None, v_scale=None):
     """Unnormalized flash attention over cached prefix pages.
 
     q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
@@ -144,14 +153,25 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     def q_index(bi, qi, ii, bt, kl):
         return (bi, 0, qi, 0)
 
+    def page_index3(bi, qi, ii, bt, kl):
+        return page_index(bi, qi, ii, bt, kl)[:3]
+
+    quant = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, nkv, qt, d), q_index),
+        pl.BlockSpec((1, nkv, bs, d), page_index),
+        pl.BlockSpec((1, nkv, bs, d), page_index),
+    ]
+    operands = [qg, k_pages, v_pages]
+    if quant:
+        in_specs += [pl.BlockSpec((1, nkv, bs), page_index3),
+                     pl.BlockSpec((1, nkv, bs), page_index3)]
+        operands += [k_scale, v_scale]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # block_tables, prefix_lens
         grid=(b, nqt, mb),
-        in_specs=[
-            pl.BlockSpec((1, nkv, qt, d), q_index),
-            pl.BlockSpec((1, nkv, bs, d), page_index),
-            pl.BlockSpec((1, nkv, bs, d), page_index),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, nkv, qt, d), q_index),
             pl.BlockSpec((1, nkv, qt, 1), q_index),
@@ -165,7 +185,8 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     )
 
     acc, m, l = pl.pallas_call(
-        functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window),
+        functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
+                          quant=quant),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -175,7 +196,7 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(flat_bt, prefix_lens, qg, k_pages, v_pages)
+    )(flat_bt, prefix_lens, *operands)
     return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))
 
 
@@ -186,19 +207,16 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
     """Full decode attention WITHOUT writing the cache: prefix pages via
     the Pallas kernel + the new token's own KV merged in-register.
 
-    q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D].
+    q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D]. int8 KV pages
+    dequantize inside the kernel (per-(page, head, token) scales).
     """
-    if k_scale is not None:
-        # int8 KV: dequant-in-kernel variant pending; use the XLA path
-        return decode_attention_deferred_xla(
-            q, k_new, v_new, k_pages, v_pages, block_tables, prefix_lens,
-            scale, k_scale=k_scale, v_scale=v_scale, window=window)
     b, nh, d = q.shape
     nkv = k_new.shape[1]
     g = nh // nkv
     acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
                                        prefix_lens, scale,
-                                       interpret=interpret, window=window)
+                                       interpret=interpret, window=window,
+                                       k_scale=k_scale, v_scale=v_scale)
     qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
     kf = k_new.astype(jnp.float32)  # [B, NKV, D]
     vf = v_new.astype(jnp.float32)
