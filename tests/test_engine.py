@@ -262,3 +262,48 @@ def test_sampler_distribution():
         counts[tok] = counts.get(tok, 0) + 1
     assert counts.get(0, 0) > counts.get(2, 0)
     assert len(counts) >= 3  # full-vocab path reaches past top-2
+
+
+def test_sampler_exact_beyond_candidate_window():
+    """top-k/top-p sets wider than the 64-candidate window are exact via
+    the full-vocab binary-search fallback (sort-free nucleus)."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_backend_public_tpu.engine.sampling import (
+        sample, sample_full_filtered)
+
+    V = 512
+    rng = np.random.default_rng(0)
+    # near-uniform logits: the nucleus at p=0.5 covers ~V/2 >> 64 tokens
+    logits = jnp.asarray(rng.normal(0, 0.01, (1, V)).astype(np.float32))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    gumbel = jnp.zeros((1, V), jnp.float32)
+
+    # top-k = 100: keep set must contain ~100 tokens (ties aside)
+    _, keep = sample_full_filtered(logp, gumbel, jnp.array([100]),
+                                   jnp.array([1.0]), jnp.array([0.0]))
+    assert 99 <= int(keep.sum()) <= 104, int(keep.sum())
+
+    # top-p = 0.5 on ~uniform: keep mass must straddle 0.5 minimally
+    _, keep = sample_full_filtered(logp, gumbel, jnp.array([0]),
+                                   jnp.array([0.5]), jnp.array([0.0]))
+    mass = float(jnp.sum(jnp.where(keep, jnp.exp(logp), 0.0)))
+    assert 0.5 <= mass < 0.53, mass
+
+    # end-to-end: sampling with top_k=100 reaches ranks past 64 (jitted,
+    # as in the decode program — eager lax.cond compiles are fragile on
+    # this environment's CPU backend)
+    jit_sample = jax.jit(lambda lg, st: sample(
+        lg, seeds=jnp.array([3]), steps=st,
+        temperature=jnp.array([1.0]), top_k=jnp.array([100]),
+        top_p=jnp.array([1.0]), min_p=jnp.array([0.0])))
+    ranks = np.argsort(-np.asarray(logits[0]))
+    rank_of = {int(t): i for i, t in enumerate(ranks)}
+    seen_past_64 = False
+    for i in range(300):
+        tok = int(jit_sample(logits, jnp.array([i]))[0])
+        r = rank_of[tok]
+        assert r < 104, r  # never escapes the requested k (ties aside)
+        if r >= 64:
+            seen_past_64 = True
+    assert seen_past_64

@@ -48,10 +48,13 @@ def sample(logits: jax.Array, *, seeds: jax.Array, steps: jax.Array,
     Returns [B] int32 token ids.
 
     Never sorts the vocab: greedy is argmax, pure temperature sampling is
-    Gumbel-argmax over the full distribution (exact), and top-k/top-p/min-p
-    truncation runs inside a lax.top_k(TRUNC_WIDTH) candidate set — exact
-    for top_k <= 64; top_p tails beyond 64 candidates are clipped (the
-    standard TPU-sampler tradeoff).
+    Gumbel-argmax over the full distribution (exact), top-k/top-p/min-p
+    run inside a lax.top_k(TRUNC_WIDTH) candidate set using GLOBAL
+    probabilities (exact whenever the candidate set covers the nucleus /
+    k / min-p set — the overwhelmingly common case), and rows whose
+    filter provably extends past the candidate set fall back to a
+    full-vocab threshold binary search (lax.cond'd: no cost when no row
+    needs it). Exact for every parameter combination.
     """
     b, v = logits.shape
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -69,26 +72,91 @@ def sample(logits: jax.Array, *, seeds: jax.Array, steps: jax.Array,
     # exact full-vocab temperature sampling (no truncation requested)
     full_tok = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
 
-    # truncated sampling within the top-W candidates
+    # truncated sampling within the top-W candidates, global normalizer
     w = min(TRUNC_WIDTH, v)
-    cand_logits, cand_idx = jax.lax.top_k(scaled, w)  # descending
+    logp = jax.nn.log_softmax(scaled, axis=-1)  # [B, V] global
+    cand_logp, cand_idx = jax.lax.top_k(logp, w)  # descending
     ranks = jnp.arange(w, dtype=jnp.int32)[None, :]
-    k = jnp.where(top_k <= 0, v, jnp.minimum(top_k, w))[:, None]
+    k = jnp.where(top_k <= 0, v, top_k)[:, None]
     mask = ranks < k
-    probs = jax.nn.softmax(cand_logits, axis=-1)
+    probs = jnp.exp(cand_logp)  # global probabilities of the candidates
     cum = jnp.cumsum(probs, axis=-1)
     mask &= (cum - probs) < top_p[:, None]
     mask &= probs >= (min_p[:, None] * probs[:, 0:1])
     mask = mask.at[:, 0].set(True)  # always keep the argmax
-    filtered = jnp.where(mask, cand_logits, NEG_INF)
+    filtered = jnp.where(mask, cand_logp, NEG_INF)
     cand_gumbel = jnp.take_along_axis(gumbel, cand_idx, axis=-1)
     choice = jnp.argmax(filtered + cand_gumbel, axis=-1)
     trunc_tok = jnp.take_along_axis(
         cand_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
     truncated = (top_k > 0) | (top_p < 1.0) | (min_p > 0.0)
-    sampled_tok = jnp.where(truncated, trunc_tok, full_tok)
+
+    # rows whose filter set provably extends past the W candidates:
+    # nucleus mass not yet reached, k > W, or the last candidate still
+    # passes min-p (so vocab tail might too)
+    need_full = truncated & (temperature > 0.0) & (
+        ((top_p < 1.0) & (cum[:, -1] < top_p))
+        | (top_k > w)
+        | ((min_p > 0.0) & (probs[:, -1] >= min_p * probs[:, 0])))
+
+    def full_filtered(_):
+        tok, _ = sample_full_filtered(logp, gumbel, top_k, top_p, min_p)
+        return tok
+
+    full_filtered_tok = jax.lax.cond(
+        jnp.any(need_full), full_filtered,
+        lambda _: trunc_tok, operand=None)
+
+    sampled_tok = jnp.where(truncated,
+                            jnp.where(need_full, full_filtered_tok,
+                                      trunc_tok),
+                            full_tok)
     return jnp.where(temperature <= 0.0, greedy_tok, sampled_tok)
+
+
+def sample_full_filtered(logp: jax.Array, gumbel: jax.Array,
+                         top_k: jax.Array, top_p: jax.Array,
+                         min_p: jax.Array, iters: int = 24):
+    """Exact sort-free top-k/top-p/min-p over the FULL vocab.
+
+    Thresholds found by binary search on the log-probability axis:
+    nucleus mass(t) = sum(p * [logp > t]) and count(t) = #[logp > t] are
+    monotone in t, so ~24 halvings pin the boundary to float precision —
+    the TPU answer to a 128k-entry sort. Returns (tokens [B], keep mask).
+    """
+    b, v = logp.shape
+    lo0 = jnp.full((b,), -80.0, jnp.float32)
+    hi0 = jnp.zeros((b,), jnp.float32)
+    p = jnp.exp(logp)
+
+    def body(_, carry):
+        plo, phi, klo, khi = carry
+        pmid = 0.5 * (plo + phi)
+        kmid = 0.5 * (klo + khi)
+        mass = jnp.sum(jnp.where(logp > pmid[:, None], p, 0.0), axis=-1)
+        count = jnp.sum(logp > kmid[:, None], axis=-1)
+        pok = mass >= top_p
+        kok = count >= jnp.where(top_k <= 0, 1, top_k)
+        plo = jnp.where(pok, pmid, plo)
+        phi = jnp.where(pok, phi, pmid)
+        klo = jnp.where(kok, kmid, klo)
+        khi = jnp.where(kok, khi, kmid)
+        return plo, phi, klo, khi
+
+    plo, _, klo, _ = jax.lax.fori_loop(0, iters, body,
+                                       (lo0, hi0, lo0, hi0))
+    keep = jnp.ones_like(logp, bool)
+    keep &= jnp.where((top_p < 1.0)[:, None], logp > plo[:, None], True)
+    keep &= jnp.where((top_k > 0)[:, None], logp > klo[:, None], True)
+    maxlp = jnp.max(logp, axis=-1, keepdims=True)
+    keep &= jnp.where((min_p > 0.0)[:, None],
+                      logp >= jnp.log(jnp.maximum(min_p, 1e-30))[:, None]
+                      + maxlp, True)
+    keep |= logp == maxlp  # always keep the argmax
+    tok = jnp.argmax(jnp.where(keep, logp, NEG_INF) + gumbel,
+                     axis=-1).astype(jnp.int32)
+    return tok, keep
 
 
 def top_logprobs(logits: jax.Array, sampled: jax.Array, k: int):
