@@ -70,8 +70,11 @@ def random_params_on_device(cfg, quant):
                          1.0 / (100 * fan_in ** 0.5), jnp.float32)
             return QuantizedWeight("fp8", q, s)
         if quant == "int4":
+            # bit-packed layout (quant.pack_int4): [.., in/2, out] bytes;
+            # any random byte decodes to a valid (low, high) nibble pair
             g = min(128, shape[-2])
-            q = jax.random.randint(k, shape, -8, 8, dtype=jnp.int8)
+            q = jax.random.randint(k, shape[:-2] + (shape[-2] // 2,)
+                                   + shape[-1:], -128, 128, dtype=jnp.int8)
             s = jnp.full(shape[:-2] + (shape[-2] // g,) + shape[-1:],
                          1.0 / (7 * fan_in ** 0.5), jnp.float32)
             return QuantizedWeight("int4", q, s, g)
@@ -111,6 +114,9 @@ def main():
     ap.add_argument("--steps", type=int, default=64,
                     help="total decode tokens per sequence to time")
     ap.add_argument("--max-model-len", type=int, default=384)
+    ap.add_argument("--block-size", type=int, default=16,
+                    help="KV page size in tokens (bigger pages = fewer "
+                         "attention-kernel grid steps per layer)")
     ap.add_argument("--multi-step", type=int, default=16,
                     help="decode steps fused per device dispatch")
     args = ap.parse_args()
@@ -128,11 +134,12 @@ def main():
     params = random_params_on_device(cfg, quant)
 
     B = args.batch
-    mb = args.max_model_len // 16
+    mb = args.max_model_len // args.block_size
     econ = EngineConfig(
         model=args.model, dtype="bfloat16", quantization=quant,
         kv_cache_dtype=args.kv_dtype,
-        block_size=16, max_num_seqs=B, max_model_len=args.max_model_len,
+        block_size=args.block_size, max_num_seqs=B,
+        max_model_len=args.max_model_len,
         max_num_batched_tokens=args.prompt_len,
         num_kv_blocks=B * mb + 1,
         decode_steps_per_call=args.multi_step)

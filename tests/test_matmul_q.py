@@ -38,6 +38,62 @@ def test_matmul_fp8_matches_xla():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_int4_pack_roundtrip():
+    from vllm_backend_public_tpu.ops.quant import pack_int4, unpack_int4
+    key = jax.random.PRNGKey(3)
+    q = jax.random.randint(key, (64, 32), -8, 8, dtype=jnp.int8)
+    packed = pack_int4(q)
+    assert packed.shape == (32, 32)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)),
+                                  np.asarray(q))
+
+
+@pytest.mark.parametrize("m,k,n,g", [(16, 512, 512, 128), (8, 1024, 384, 256),
+                                     (64, 512, 1024, 128)])
+def test_matmul_int4_matches_grouped_reference(m, k, n, g):
+    from vllm_backend_public_tpu.ops.matmul_q import matmul_int4
+    from vllm_backend_public_tpu.ops.quant import quantize_int4, unpack_int4
+
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (m, k), dtype=jnp.float32)
+    w = jax.random.normal(k2, (k, n), dtype=jnp.float32)
+    qw = quantize_int4(w, group_size=g)
+    assert qw.q.shape == (k // 2, n)
+
+    # reference: unpack + per-group dequant matmul
+    qd = unpack_int4(qw.q).astype(jnp.float32).reshape(k // g, g, n)
+    ref = jnp.einsum("mgi,gio->mgo", x.reshape(m, k // g, g), qd)
+    ref = (ref * qw.s).sum(axis=1)
+
+    out = matmul_int4(x, qw.q, qw.s, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_int4_linear_dispatch_packed():
+    """linear.matmul on a packed int4 weight matches fp32 within quant tol."""
+    from vllm_backend_public_tpu.ops.linear import matmul
+    from vllm_backend_public_tpu.ops.quant import quantize_int4
+
+    key = jax.random.PRNGKey(5)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, 256), dtype=jnp.float32)
+    w = jax.random.normal(k2, (256, 128), dtype=jnp.float32) * 0.05
+    from vllm_backend_public_tpu.ops.quant import unpack_int4
+    qw = quantize_int4(w, group_size=128)
+    out = matmul(x, qw)  # CPU -> XLA unpack path
+    # exact reference: matmul against the dequantized weights
+    wd = (unpack_int4(qw.q).astype(jnp.float32).reshape(2, 128, 128)
+          * qw.s[:, None, :]).reshape(256, 128)
+    ref = x @ wd
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # and it stays a faithful int4 approximation of the fp32 matmul
+    err = np.abs(np.asarray(out) - np.asarray(x @ w)).mean()
+    assert err / np.abs(np.asarray(x @ w)).mean() < 0.25
+
+
 def test_ragged_falls_back():
     """Shapes the kernel can't tile still produce correct results."""
     key = jax.random.PRNGKey(2)

@@ -130,3 +130,96 @@ def test_deployer_terminal_websocket(tmp_path):
             assert r.status == 404
 
     run(main())
+
+
+def test_deployer_terminal_job_endpoints(tmp_path):
+    """Reference-parity endpoints: POST /jobs/{n}/terminal, plain GET
+    /terminal/{sid} info, DELETE /terminal/job/{n}, POST /jobs/logs
+    (reference benchmark-deployer/main.py:160-265)."""
+    async def main():
+        dep = DeployerService(procman=ProcessManager(log_dir=str(tmp_path)))
+        async with TestClient(TestServer(dep.build_app())) as c:
+            job_yaml = yaml.safe_dump({
+                "kind": "Job", "metadata": {"name": "sleepy"},
+                "spec": {"template": {"spec": {"containers": [{
+                    "command": ["/bin/sh", "-c",
+                                "echo hello_log; sleep 30"]}]}}}})
+            r = await c.post("/deploy", json={"yaml_content": job_yaml})
+            assert r.status == 200
+
+            r = await c.post("/jobs/sleepy/terminal")
+            assert r.status == 200
+            sid = (await r.json())["session_id"]
+
+            # plain GET (no WS upgrade) returns session info
+            r = await c.get(f"/terminal/{sid}")
+            assert r.status == 200
+            info = await r.json()
+            assert info["job_name"] == "sleepy" and info["active"]
+
+            # bulk logs with unknown job mixed in
+            await asyncio.sleep(0.3)
+            r = await c.post("/jobs/logs",
+                             json={"job_names": ["sleepy", "ghost"]})
+            logs = (await r.json())["logs"]
+            assert "hello_log" in (logs["sleepy"] or "")
+            assert logs["ghost"] is None
+
+            # close all sessions of the job
+            r = await c.delete("/terminal/job/sleepy")
+            assert sid in (await r.json())["closed"]
+            r = await c.get("/terminal/sessions")
+            assert (await r.json())["sessions"] == []
+
+            r = await c.delete("/jobs/sleepy")
+            assert r.status == 200
+
+    run(main())
+
+
+def test_deployer_vllm_queue_aliases(tmp_path):
+    """/vllm/queue/* reference paths proxy to the engine-manager
+    (reference benchmark-deployer/main.py:296-399)."""
+    async def main():
+        em = EngineManagerService(autostart_scheduler=False,
+                                  procman=ProcessManager(
+                                      log_dir=str(tmp_path),
+                                      total_tpu_chips=8))
+        em_server = TestServer(em.build_app())
+        async with TestClient(em_server) as emc:
+            dep = DeployerService(
+                procman=ProcessManager(log_dir=str(tmp_path)),
+                engine_manager_url=str(em_server.make_url("")).rstrip("/"))
+            async with TestClient(TestServer(dep.build_app())) as c:
+                r = await c.post("/vllm/queue/deployment", json={
+                    "engine_config": {"demo": True, "model": "demo"},
+                    "benchmark_configs": [], "priority": "low"})
+                assert r.status in (200, 201)
+                qid = (await r.json())["queue_id"]
+
+                r = await c.get("/vllm/queue/list")
+                assert r.status == 200
+                assert any(q["queue_id"] == qid
+                           for q in (await r.json())["queue"])
+
+                r = await c.get(f"/vllm/queue/{qid}")
+                assert (await r.json())["priority"] == "low"
+
+                r = await c.post(f"/vllm/queue/{qid}/priority",
+                                 json={"priority": "urgent"})
+                assert r.status == 200
+                r = await c.get(f"/vllm/queue/{qid}")
+                assert (await r.json())["priority"] == "urgent"
+
+                r = await c.get("/vllm/queue/scheduler/status")
+                assert r.status == 200
+
+                r = await c.post(f"/vllm/queue/{qid}/cancel")
+                assert r.status == 200
+                r = await c.get(f"/vllm/queue/{qid}")
+                assert (await r.json())["status"] == "cancelled"
+
+                r = await c.delete(f"/vllm/queue/{qid}")
+                assert r.status == 200
+
+    run(main())

@@ -50,6 +50,19 @@ def is_quantized(w) -> bool:
     return isinstance(w, QuantizedWeight)
 
 
+# Pallas kernels are single-device programs. Under GSPMD (mesh sharding)
+# the XLA convert+dot path partitions correctly; the engine flips this
+# off when it builds a mesh (engine/engine.py) — same discipline as its
+# attn_impl="xla" override.
+import os
+KERNELS_ENABLED = os.environ.get("VBPT_DISABLE_KERNELS", "") != "1"
+
+
+def set_kernels_enabled(flag: bool) -> None:
+    global KERNELS_ENABLED
+    KERNELS_ENABLED = bool(flag)
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
     """x: [..., in] @ w -> [..., out]; dense or quantized."""
     if not is_quantized(w):
@@ -99,7 +112,8 @@ def _w8a8_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:
 
 def _use_fused_kernel(x, w) -> bool:
     """Fused Pallas dequant+matmul needs TPU + tile-friendly shapes."""
-    if jax.default_backend() != "tpu" or w.q.ndim != 2:
+    if (not KERNELS_ENABLED or jax.default_backend() != "tpu"
+            or w.q.ndim != 2):
         return False
     m = 1
     for dim in x.shape[:-1]:
@@ -108,17 +122,44 @@ def _use_fused_kernel(x, w) -> bool:
     return m % 8 == 0 and m <= 1024 and k % 128 == 0 and n % 128 == 0
 
 
+def _int4_kernel_ok(x, w: QuantizedWeight) -> bool:
+    """Packed-int4 Pallas kernel preconditions (else XLA unpack path)."""
+    if (not KERNELS_ENABLED or jax.default_backend() != "tpu"
+            or w.q.ndim != 2):
+        return False
+    in_dim = x.shape[-1]
+    if w.q.shape[-2] * 2 != in_dim:       # not packed
+        return False
+    m = 1
+    for dim in x.shape[:-1]:
+        m *= dim
+    k2, n = w.q.shape
+    ng = in_dim // w.g
+    return (m % 8 == 0 and m <= 1024 and ng % 2 == 0
+            and k2 % w.g == 0 and k2 % 128 == 0 and n % 128 == 0)
+
+
 def _int4_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:
     """Group-quantized INT4 (AWQ-style): per-(input-group, out-col) scales.
 
-    q holds unpacked int4 values in int8 storage (bit-packed storage is an
-    HBM-layout concern for the Pallas kernel path; the XLA path keeps
-    unpacked int8 for correctness)."""
+    q is bit-packed two values per byte (quant.pack_int4 layout) so HBM
+    weight traffic is 4 bits/element; legacy unpacked int8 storage is
+    also accepted. The Pallas kernel (matmul_q.matmul_int4) unpacks in
+    VMEM; the XLA path unpacks explicitly and runs a grouped einsum."""
     g = w.g
     in_dim = x.shape[-1]
     ng = in_dim // g
     out = w.q.shape[-1]
-    qd = w.q.astype(x.dtype).reshape(ng, g, out)
+    if _int4_kernel_ok(x, w):
+        from .matmul_q import matmul_int4
+        lead = x.shape[:-1]
+        y = matmul_int4(x.reshape(-1, in_dim), w.q, w.s, w.g)
+        return y.reshape(*lead, out)
+    q = w.q
+    if q.shape[-2] * 2 == in_dim:
+        from .quant import unpack_int4
+        q = unpack_int4(q)
+    qd = q.astype(x.dtype).reshape(ng, g, out)
     xg = x.reshape(*x.shape[:-1], ng, g)
     # partial sums per group, scaled per (group, out)
     y = jnp.einsum("...ng,ngo->...no", xg, qd,

@@ -114,6 +114,100 @@ def matmul_w8a8(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     return out
 
 
+def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                 n_k: int, g: int, gpb: int):
+    k = pl.program_id(1)
+    # s_ref holds ALL groups for this n-tile: [2, ng/2, bn] (whole axis —
+    # a (2, gpb, bn) block would break Mosaic's 8-sublane tiling for
+    # small gpb); this k-step's groups start at k * gpb
+    sbase = k * gpb
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # One packed byte holds two weights: HIGH nibble = logical row
+    # r + K/2 (signed), LOW nibble = logical row r biased +8 (unsigned).
+    # Decode in f32 (int8 -> f32 is the fast Mosaic convert; bit ops on
+    # int8 relayout): every byte value is exactly representable.
+    f = w_ref[:].astype(jnp.float32)           # [bkp, bn]
+    hi = jnp.floor(f * 0.0625)                 # [-8, 7]
+    lo = f - hi * 16.0                         # biased, [0, 15]
+
+    # Per-group MXU dots with the RAW nibble planes; group scales (and the
+    # -8 low-bias correction, folded into a per-group x row-sum) apply to
+    # the [M, bn] group outputs — O(M·bn) VPU work per group instead of
+    # O(g·bn) scaling of the weight tile.
+    for gi in range(gpb):
+        rows = slice(gi * g, (gi + 1) * g)
+        xl = x_ref[:, 0, rows].astype(jnp.float32)     # [M, g]
+        xh = x_ref[:, 1, rows].astype(jnp.float32)
+        yl = jax.lax.dot(xl, lo[rows], preferred_element_type=jnp.float32)
+        yh = jax.lax.dot(xh, hi[rows], preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xl, axis=1, keepdims=True)      # [M, 1]
+        sl = s_ref[0, pl.ds(sbase + gi, 1), :]         # [1, bn]
+        sh = s_ref[1, pl.ds(sbase + gi, 1), :]
+        acc_ref[:] += (yl - 8.0 * xsum) * sl + yh * sh
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "block_k", "block_n", "interpret"))
+def matmul_int4(x: jax.Array, w_packed: jax.Array, scale: jax.Array,
+                g: int, block_k: int = 512, block_n: int = 512,
+                interpret: bool = False) -> jax.Array:
+    """Fused group-dequant + matmul for bit-packed INT4 (AWQ-style).
+
+    x [M, K] bf16/f32; w_packed [K/2, N] int8 (quant.pack_int4 layout:
+    row r pairs with row r + K/2); scale [K/g, N] f32, g = group size.
+    HBM weight traffic is 4 bits per element — half the int8 kernel's.
+    Caller guarantees tile-friendliness (see linear._int4_kernel_ok).
+    """
+    m, kdim = x.shape
+    k2, n = w_packed.shape
+    ng = kdim // g
+
+    bkp = block_k
+    while k2 % bkp or bkp % g:
+        bkp //= 2
+    bn = block_n
+    while n % bn:
+        bn //= 2
+    n_k = k2 // bkp
+    gpb = bkp // g
+
+    x_r = x.reshape(m, 2, k2)
+    s_r = scale.reshape(2, ng // 2, n).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, n_k=n_k, g=g, gpb=gpb),
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, 2, bkp), lambda ni, ki: (0, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkp, bn), lambda ni, ki: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ng // 2, bn), lambda ni, ki: (0, 0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki: (0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * kdim * n,
+            bytes_accessed=k2 * n + m * kdim * 2 + m * n * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(x_r, w_packed, s_r)
+    return out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_k", "block_n", "interpret"))
 def matmul_quantized(x: jax.Array, w_q: jax.Array, scale: jax.Array,

@@ -166,11 +166,16 @@ class DeployerService(ServiceApp):
             web.get("/jobs/{name}/status", self.job_status),
             web.get("/jobs/{name}/logs", self.job_logs),
             web.delete("/jobs/{name}", self.delete_job),
+            web.post("/jobs/logs", self.jobs_logs_bulk),
             web.post("/run", self.run_benchmark),
             web.post("/engine/deploy", self.engine_deploy),
             web.post("/terminal/create", self.terminal_create),
+            web.post("/jobs/{name}/terminal", self.terminal_create_for_job),
             web.get("/terminal/sessions", self.terminal_sessions),
+            web.delete("/terminal/job/{name}", self.terminal_close_for_job),
             web.delete("/terminal/{sid}", self.terminal_close),
+            # GET /terminal/{sid}: WebSocket upgrade opens the shell bridge;
+            # a plain GET returns session info (reference main.py:234,265)
             web.get("/terminal/{sid}", self.terminal_ws),
             # queue front-door (proxied to engine-manager)
             web.post("/queue/deployment", self.queue_register),
@@ -178,6 +183,17 @@ class DeployerService(ServiceApp):
             web.get("/queue/status", self.queue_proxy_get),
             web.get("/queue/deployment/{qid}", self.queue_proxy_get_item),
             web.delete("/queue/deployment/{qid}", self.queue_proxy_delete),
+            # reference-path aliases (benchmark-deployer main.py:296-399)
+            web.post("/vllm/helm/deploy", self.engine_deploy),
+            web.post("/vllm/queue/deployment", self.queue_register),
+            web.get("/vllm/queue/list", self.queue_proxy_get),
+            web.get("/vllm/queue/status", self.queue_proxy_get),
+            web.get("/vllm/queue/scheduler/status", self.sched_status_proxy),
+            web.post("/vllm/queue/scheduler/trigger", self.sched_trigger),
+            web.post("/vllm/queue/{qid}/priority", self.queue_priority_proxy),
+            web.post("/vllm/queue/{qid}/cancel", self.queue_cancel_proxy),
+            web.get("/vllm/queue/{qid}", self.queue_proxy_get_item),
+            web.delete("/vllm/queue/{qid}", self.queue_proxy_delete),
         ]
 
     # ------------------------------------------------------------- deploy
@@ -345,6 +361,19 @@ class DeployerService(ServiceApp):
         logs = self.procman.logs(name, tail=int(tail) if tail else None)
         return json_response({"name": name, "logs": logs})
 
+    async def jobs_logs_bulk(self, request: web.Request) -> web.Response:
+        """POST /jobs/logs {job_names: [...], tail?} — aggregated logs with
+        per-job prefixes (reference main.py:173, kubernetes_client.py:292)."""
+        body = await request.json()
+        names = body.get("job_names") or body.get("names") or []
+        tail = body.get("tail")
+        out = {}
+        for name in names:
+            mp = self.procman.get(name)
+            out[name] = (self.procman.logs(name, tail=tail)
+                         if mp is not None else None)
+        return json_response({"logs": out})
+
     async def delete_job(self, request: web.Request) -> web.Response:
         name = request.match_info["name"]
         stopped = await self.procman.stop(name)
@@ -425,10 +454,11 @@ class DeployerService(ServiceApp):
         return await self.engine_deploy(request)
 
     async def _proxy(self, request: web.Request, path: str,
-                     method: str = "GET") -> web.Response:
+                     method: str = "GET",
+                     json_body: Optional[dict] = None) -> web.Response:
         async with aiohttp.ClientSession() as session:
             url = f"{self.engine_manager_url}{path}"
-            async with session.request(method, url) as r:
+            async with session.request(method, url, json=json_body) as r:
                 return json_response(await r.json(), status=r.status)
 
     async def queue_proxy_get(self, request):
@@ -442,6 +472,25 @@ class DeployerService(ServiceApp):
         return await self._proxy(
             request, f"/queue/deployment/{request.match_info['qid']}",
             method="DELETE")
+
+    async def queue_priority_proxy(self, request):
+        body = await request.json()
+        return await self._proxy(
+            request, f"/queue/deployment/{request.match_info['qid']}/priority",
+            method="PATCH", json_body=body)
+
+    async def queue_cancel_proxy(self, request):
+        return await self._proxy(
+            request, f"/queue/deployment/{request.match_info['qid']}/cancel",
+            method="POST")
+
+    async def sched_status_proxy(self, request):
+        return await self._proxy(request, "/scheduler/status")
+
+    async def sched_trigger(self, request):
+        """Reference main.py:390: force one scheduler pass now."""
+        return await self._proxy(request, "/scheduler/trigger",
+                                 method="POST")
 
     # ----------------------------------------------------------- terminal
 
@@ -462,6 +511,30 @@ class DeployerService(ServiceApp):
         self.terminals[sid] = session
         return json_response({"session_id": sid, "job_name": job_name})
 
+    async def terminal_create_for_job(self, request: web.Request) -> web.Response:
+        """POST /jobs/{name}/terminal (reference main.py:205)."""
+        name = request.match_info["name"]
+        mp = self.procman.get(name)
+        if mp is None:
+            return error_response(404, f"job {name} not found")
+        sid = uuid.uuid4().hex[:12]
+        session = TerminalSession(sid, name, mp.cwd or REPO_ROOT,
+                                  dict(mp.env))
+        await session.start()
+        self.terminals[sid] = session
+        return json_response({"session_id": sid, "job_name": name})
+
+    async def terminal_close_for_job(self, request: web.Request) -> web.Response:
+        """DELETE /terminal/job/{name}: close all of a job's sessions
+        (reference main.py:256)."""
+        name = request.match_info["name"]
+        closed = []
+        for sid in [s for s, t in self.terminals.items()
+                    if t.job_name == name]:
+            await self.terminals.pop(sid).close()
+            closed.append(sid)
+        return json_response({"job_name": name, "closed": closed})
+
     async def terminal_sessions(self, request: web.Request) -> web.Response:
         return json_response({"sessions": [
             {"session_id": s.session_id, "job_name": s.job_name,
@@ -481,6 +554,15 @@ class DeployerService(ServiceApp):
         session = self.terminals.get(sid)
         if session is None:
             return error_response(404, f"session {sid} not found")
+        if request.headers.get("Upgrade", "").lower() != "websocket":
+            # plain GET: session info (reference main.py:234)
+            return json_response({
+                "session_id": session.session_id,
+                "job_name": session.job_name,
+                "created_at": session.created_at,
+                "last_activity": session.last_activity,
+                "active": session.proc is not None
+                          and session.proc.returncode is None})
         ws = web.WebSocketResponse()
         await ws.prepare(request)
 

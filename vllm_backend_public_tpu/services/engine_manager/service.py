@@ -502,6 +502,7 @@ class EngineManagerService(ServiceApp):
             web.post("/scheduler/pause", self.sched_pause),
             web.post("/scheduler/resume", self.sched_resume),
             web.get("/scheduler/status", self.sched_status),
+            web.post("/scheduler/trigger", self.sched_trigger),
             web.patch("/scheduler/config", self.sched_config),
             # configs
             web.get("/configs", self.list_configs),
@@ -646,6 +647,15 @@ class EngineManagerService(ServiceApp):
 
     async def sched_status(self, request):
         return json_response(self.queue.status())
+
+    async def sched_trigger(self, request):
+        """Force one scheduler pass immediately, bypassing the poll wait
+        (reference deployer main.py:390 /vllm/queue/scheduler/trigger)."""
+        try:
+            await self.queue._process_next()
+        except Exception as exc:  # surfaced, not swallowed by the loop
+            return error_response(500, f"trigger failed: {exc}")
+        return json_response({"triggered": True, **self.queue.status()})
 
     async def sched_config(self, request):
         body = await request.json()
