@@ -94,6 +94,64 @@ def test_int4_linear_dispatch_packed():
     assert err / np.abs(np.asarray(x @ w)).mean() < 0.25
 
 
+def test_stacked_kernels_match_sliced():
+    """Zero-copy stacked-layer kernels == slicing the layer first."""
+    from vllm_backend_public_tpu.ops.matmul_q import (
+        matmul_int4, matmul_int4_stacked, matmul_quantized,
+        matmul_quantized_stacked, matmul_w8a8, matmul_w8a8_stacked)
+
+    key = jax.random.PRNGKey(7)
+    L, M, K, N, G = 3, 16, 512, 512, 128
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (M, K), dtype=jnp.float32)
+    W = jax.random.randint(k2, (L, K, N), -127, 128, dtype=jnp.int8)
+    S = jax.random.uniform(k3, (L, N), dtype=jnp.float32) + 0.5
+    Wp = jax.random.randint(k2, (L, K // 2, N), -128, 128, dtype=jnp.int8)
+    S4 = jax.random.uniform(k3, (L, K // G, N), dtype=jnp.float32) + 0.5
+
+    for li in (0, L - 1):
+        ref = matmul_quantized(x, W[li], S[li], interpret=True)
+        out = matmul_quantized_stacked(x, W, S, jnp.int32(li),
+                                       interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+        ref = matmul_w8a8(x, W[li], S[li], interpret=True)
+        out = matmul_w8a8_stacked(x, W, S, jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+        ref = matmul_int4(x, Wp[li], S4[li], G, interpret=True)
+        out = matmul_int4_stacked(x, Wp, S4, G, jnp.int32(li),
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_layer_view_dispatch():
+    """matmul on a LayerView == matmul on the sliced weight (XLA path)."""
+    from vllm_backend_public_tpu.ops.linear import LayerView, matmul
+    from vllm_backend_public_tpu.ops.quant import quantize_int8
+
+    key = jax.random.PRNGKey(8)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, 64), dtype=jnp.float32)
+    W = jax.random.normal(k2, (3, 64, 32), dtype=jnp.float32)
+    qw = quantize_int8(W)  # stacked [L, K, N] int8
+    for li in (0, 2):
+        from vllm_backend_public_tpu.ops.linear import QuantizedWeight
+        sliced = QuantizedWeight("int8", qw.q[li], qw.s[li])
+        ref = matmul(x, sliced)
+        out = matmul(x, LayerView(qw, jnp.int32(li)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        # dense stacked
+        ref = x @ W[li]
+        out = matmul(x, LayerView(W, jnp.int32(li)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_ragged_falls_back():
     """Shapes the kernel can't tile still produce correct results."""
     key = jax.random.PRNGKey(2)

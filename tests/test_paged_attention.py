@@ -164,3 +164,58 @@ def test_chunk_prefill_deferred_matches_write_then_gather():
                 np.asarray(out)[b, :n], np.asarray(ref)[b, :n],
                 rtol=3e-5, atol=3e-5,
                 err_msg=f"use_kernel={use_kernel} b={b}")
+
+
+def test_stacked_layer_prefix_attention_matches_flat():
+    """paged_prefix_attention(layer=li) over stacked [L, ...] pages ==
+    the flat call on that layer's pages (zero-copy decode path)."""
+    B, MB, BS, NB, L = 4, 4, 16, 32, 3
+    nh, nkv, d = 8, 2, 64
+    prefix = [7, BS * 2, BS * MB - 1, 5]
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (B, nh, d), dtype=jnp.float32)
+    Ks = jax.random.normal(k2, (L, NB, nkv, BS, d), dtype=jnp.float32)
+    Vs = jax.random.normal(k3, (L, NB, nkv, BS, d), dtype=jnp.float32)
+    bt = jax.random.permutation(k4, jnp.arange(1, NB))[:B * MB]
+    bt = bt.reshape(B, MB).astype(jnp.int32)
+    pl_ = jnp.asarray(prefix, dtype=jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    for li in (0, L - 1):
+        ref = paged_prefix_attention(q, Ks[li], Vs[li], bt, pl_, scale,
+                                     interpret=True)
+        out = paged_prefix_attention(q, Ks, Vs, bt, pl_, scale,
+                                     interpret=True, layer=jnp.int32(li))
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_layer_prefix_attention_int8_kv():
+    """Stacked + quantized pages: in-kernel dequant with layer indexing."""
+    from vllm_backend_public_tpu.models.common import quantize_kv
+    B, MB, BS, NB, L = 2, 2, 16, 16, 2
+    nh, nkv, d = 4, 2, 64
+    key = jax.random.PRNGKey(10)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (B, nh, d), dtype=jnp.float32)
+    Kf = jax.random.normal(k2, (L, NB, nkv, BS, d), dtype=jnp.float32)
+    Vf = jax.random.normal(k3, (L, NB, nkv, BS, d), dtype=jnp.float32)
+    Kq, Ks = quantize_kv(Kf)
+    Vq, Vs = quantize_kv(Vf)
+    bt = jax.random.permutation(k4, jnp.arange(1, NB))[:B * MB]
+    bt = bt.reshape(B, MB).astype(jnp.int32)
+    pl_ = jnp.asarray([7, BS + 3], dtype=jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    li = 1
+    ref = paged_prefix_attention(q, Kq[li], Vq[li], bt, pl_, scale,
+                                 interpret=True, k_scale=Ks[li],
+                                 v_scale=Vs[li])
+    out = paged_prefix_attention(q, Kq, Vq, bt, pl_, scale,
+                                 interpret=True, k_scale=Ks, v_scale=Vs,
+                                 layer=jnp.int32(li))
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)

@@ -93,8 +93,11 @@ class LLMEngine:
             self.params = shard_params(self.params, self.mesh, model_cfg,
                                        pipelined=pp > 1)
             # Pallas kernels are single-device programs; under GSPMD use
-            # the XLA attention path and let the partitioner slice it
+            # the XLA attention + matmul paths and let the partitioner
+            # slice them
             self.attn_impl = "xla"
+            from ..ops.linear import set_kernels_enabled
+            set_kernels_enabled(False)
 
         num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
         if self.mesh is not None:
@@ -200,17 +203,39 @@ class LLMEngine:
         impl = self.attn_impl
         B = self._B
 
+        # Lookahead-buffer multi-step decode: the paged cache stays OUT of
+        # the step loop's carry (a carried multi-GB cache buffer costs a
+        # full device copy per iteration — measured 4.8 ms/step on
+        # Llama-3-8B int8 KV). New K/V go to a small [L, K, B, NKV, D]
+        # side buffer that attention folds in (`pending`); ONE scatter
+        # writes all K steps after the loop. Sliding-window models and
+        # pipeline parallelism use the legacy carried-cache path (the
+        # window mask needs the true query position, and the pipelined
+        # forward doesn't thread kv_pending).
+        use_pending = (cfg.sliding_window is None
+                       and self.econfig.pipeline_parallel_size == 1)
+        nkv, hd, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+        buf_dtype = self.econfig.jnp_dtype()
+
         def one_decode(params, cache, counts, tokens, kv_lens,
-                       block_tables, active, samp, steps, greedy_only):
+                       block_tables, active, samp, steps, greedy_only,
+                       pending=None):
             # positions of the new tokens == current kv_lens; attention sees
-            # the cached prefix + the new token (deferred write)
+            # the cached prefix (+ the pending lookahead buffer) + the new
+            # token (deferred write)
             positions = kv_lens
             attn_lens = kv_lens + active.astype(jnp.int32)
             attn = AttnInputs(
                 block_tables=block_tables, kv_lens=attn_lens,
                 positions=positions[:, None], write_mask=active[:, None])
-            hidden, cache = fwd(params, cfg, tokens[:, None], attn, cache,
-                                attn_impl=impl)
+            if pending is not None:
+                hidden, kv_news = fwd(params, cfg, tokens[:, None], attn,
+                                      cache, attn_impl=impl,
+                                      kv_pending=pending, defer_out=True)
+            else:
+                kv_news = None
+                hidden, cache = fwd(params, cfg, tokens[:, None], attn,
+                                    cache, attn_impl=impl)
             logits = logits_fn(params, hidden[:, 0])  # [B, V] fp32
             if greedy_only:
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -226,7 +251,8 @@ class LLMEngine:
             counts = counts.at[jnp.arange(B), toks].add(
                 active.astype(jnp.int32))
             inc = active.astype(jnp.int32)
-            return toks, cache, counts, kv_lens + inc, steps + inc, logits
+            return (toks, cache, counts, kv_lens + inc, steps + inc,
+                    logits, kv_news)
 
         TOPLP = 5  # OpenAI-style top-logprobs width
 
@@ -240,13 +266,32 @@ class LLMEngine:
             tv_buf = jnp.zeros((k_steps, B, TOPLP), jnp.float32)
             ti_buf = jnp.zeros((k_steps, B, TOPLP), jnp.int32)
             steps = samp["steps"]
+            kv_lens0 = kv_lens
+            if use_pending:
+                k_bufs = jnp.zeros((L, k_steps, B, nkv, hd), buf_dtype)
+                v_bufs = jnp.zeros((L, k_steps, B, nkv, hd), buf_dtype)
+            else:
+                k_bufs = v_bufs = jnp.zeros((), buf_dtype)
 
             def body(i, carry):
-                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache, counts,
-                 kv_lens, steps) = carry
-                toks, cache, counts, kv_lens, steps, logits = one_decode(
-                    params, cache, counts, tokens, kv_lens, block_tables,
-                    active, samp, steps, greedy_only)
+                # in pending mode the cache is NOT in the carry: the loop
+                # reads it as an invariant (closure) — a carried multi-GB
+                # buffer would be copied every iteration
+                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache_c, counts,
+                 kv_lens, steps, k_bufs, v_bufs) = carry
+                pending = ((k_bufs, v_bufs, i) if use_pending else None)
+                (toks, new_cache, counts, kv_lens, steps, logits,
+                 kv_news) = one_decode(
+                    params, cache if use_pending else cache_c, counts,
+                    tokens, kv_lens, block_tables,
+                    active, samp, steps, greedy_only, pending)
+                if not use_pending:
+                    cache_c = new_cache
+                if use_pending:
+                    k_bufs = jax.lax.dynamic_update_index_in_dim(
+                        k_bufs, kv_news[0].astype(buf_dtype), i, axis=1)
+                    v_bufs = jax.lax.dynamic_update_index_in_dim(
+                        v_bufs, kv_news[1].astype(buf_dtype), i, axis=1)
                 toks_buf = jax.lax.dynamic_update_index_in_dim(
                     toks_buf, toks, i, axis=0)
                 if want_logprobs:
@@ -258,14 +303,31 @@ class LLMEngine:
                         tv_buf, tv, i, axis=0)
                     ti_buf = jax.lax.dynamic_update_index_in_dim(
                         ti_buf, ti, i, axis=0)
-                return (toks_buf, lp_buf, tv_buf, ti_buf, toks, cache,
-                        counts, kv_lens, steps)
+                return (toks_buf, lp_buf, tv_buf, ti_buf, toks, cache_c,
+                        counts, kv_lens, steps, k_bufs, v_bufs)
 
-            (toks_buf, lp_buf, tv_buf, ti_buf, _, cache, counts, kv_lens,
-             steps) = jax.lax.fori_loop(
+            carry_cache = (jnp.zeros((), buf_dtype) if use_pending
+                           else cache)
+            (toks_buf, lp_buf, tv_buf, ti_buf, _, carry_cache, counts,
+             kv_lens, steps, k_bufs, v_bufs) = jax.lax.fori_loop(
                 0, k_steps, body,
-                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache, counts,
-                 kv_lens, steps))
+                (toks_buf, lp_buf, tv_buf, ti_buf, tokens, carry_cache,
+                 counts, kv_lens, steps, k_bufs, v_bufs))
+            if not use_pending:
+                cache = carry_cache
+            if use_pending:
+                # one scatter for all K steps x all layers
+                from ..models.common import write_kv_all_layers
+                wpos = (kv_lens0[:, None]
+                        + jnp.arange(k_steps, dtype=jnp.int32)[None, :])
+                wattn = AttnInputs(
+                    block_tables=block_tables, kv_lens=kv_lens,
+                    positions=wpos,
+                    write_mask=jnp.broadcast_to(active[:, None],
+                                                (B, k_steps)))
+                cache = write_kv_all_layers(
+                    cache, k_bufs.transpose(0, 2, 1, 3, 4),
+                    v_bufs.transpose(0, 2, 1, 3, 4), wattn)
             return (toks_buf, cache, counts, kv_lens, steps,
                     (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 

@@ -226,11 +226,14 @@ class AttnInputs(NamedTuple):
 
 def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
                     kv: tuple, cos, sin, attn_impl="xla",
-                    defer_write=False):
+                    defer_write=False, layer_idx=None, pending=None):
     """Full attention sub-block for one layer (proj -> rope -> attn -> proj).
 
     x: [B, T, H]; kv: this layer's cache arrays — (k, v) or
-    (k, v, k_scale, v_scale) for an int8 cache.
+    (k, v, k_scale, v_scale) for an int8 cache. When `layer_idx` is given
+    the kv arrays are the FULL stacked [L, ...] pools and the Pallas
+    kernel indexes the layer itself (zero-copy; a sliced pool operand to
+    an opaque kernel call forces XLA to materialize a per-layer copy).
     Returns (out [B, T, H], kv, k_new, v_new).
 
     Two cache disciplines:
@@ -271,16 +274,33 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     if defer_write and t == 1:
         from ..ops.attention import (decode_attention_deferred,
                                      decode_attention_deferred_xla)
+        # pending tokens (multi-step lookahead buffer) are NOT in the
+        # cache yet: the in-cache prefix ends `count` positions before
+        # this token's position
         prefix_lens = attn.positions[:, 0]
+        if pending is not None:
+            prefix_lens = prefix_lens - pending[2]
         q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
         if use_kernel:
             out = decode_attention_deferred(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window)
+                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window,
+                layer=layer_idx, pending=pending)
+        elif layer_idx is not None:
+            kv_l = tuple(jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
+                                                      keepdims=False)
+                         for a in kv)
+            ks_l = kv_l[2] if len(kv_l) == 4 else None
+            vs_l = kv_l[3] if len(kv_l) == 4 else None
+            out = decode_attention_deferred_xla(
+                q1, k1, v1, kv_l[0], kv_l[1], attn.block_tables,
+                prefix_lens, scale, k_scale=ks_l, v_scale=vs_l,
+                window=window, pending=pending)
         else:
             out = decode_attention_deferred_xla(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window)
+                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window,
+                pending=pending)
         out = out[:, None]
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
@@ -295,7 +315,8 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         prefix_lens = attn.positions[:, 0]  # chunk starts here
         out = chunk_prefill_attention_deferred(
             q, k, v, kv[0], kv[1], attn.block_tables, prefix_lens,
-            attn.write_mask, scale, use_kernel=use_kernel, window=window)
+            attn.write_mask, scale, use_kernel=use_kernel, window=window,
+            layer=layer_idx)
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
             out = out + layer["bo"]

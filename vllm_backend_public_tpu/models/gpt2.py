@@ -12,37 +12,69 @@ import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
-from ..ops.linear import matmul
+from ..ops.linear import LayerView, matmul
 from .common import (AttnInputs, KVCache, attention_block, layer_norm,
                      write_kv_all_layers)
+
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "w_fc", "w_proj")
 
 
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
                 cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
-                defer: bool = True):
+                defer: bool = True, kv_pending=None):
     """Layer scan over (a shard of) the stacked layers — see
-    models/llama.py:scan_layers for the contract. cos/sin unused (GPT-2
-    has learned position embeddings, no RoPE)."""
+    models/llama.py:scan_layers for the contract (incl. the zero-copy
+    deferred path). cos/sin unused (GPT-2 has learned position
+    embeddings, no RoPE)."""
 
-    def body(x, per_layer):
-        layer, kv = per_layer[0], per_layer[1:]
+    def block(x, layer, kv, li, pending=None):
         h = layer_norm(x, layer["ln1_w"], layer["ln1_b"], cfg.layer_norm_eps)
         a, kv, k_new, v_new = attention_block(
             h, layer, cfg, attn, kv, cos=None, sin=None,
-            attn_impl=attn_impl, defer_write=defer)
+            attn_impl=attn_impl, defer_write=defer, layer_idx=li,
+            pending=pending)
         x = x + a
         h = layer_norm(x, layer["ln2_w"], layer["ln2_b"], cfg.layer_norm_eps)
         h = jax.nn.gelu(matmul(h, layer["w_fc"]) + layer["b_fc"],
                         approximate=True)
         x = x + matmul(h, layer["w_proj"]) + layer["b_proj"]
-        return x, ((k_new, v_new) if defer else kv)
+        return x, kv, k_new, v_new
+
+    if defer:
+        small = {k: v for k, v in layers.items() if k not in _BIG_WEIGHTS}
+        L = jax.tree.leaves(layers)[0].shape[0]
+
+        def body(x, per_layer):
+            small_l, li = per_layer
+            layer = dict(small_l)
+            for k in _BIG_WEIGHTS:
+                if k in layers:
+                    layer[k] = LayerView(layers[k], li)
+            pending = None
+            if kv_pending is not None:
+                kb, vb, count = kv_pending
+                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
+                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
+                           count)
+            x, _, k_new, v_new = block(x, layer, cache_arrays, li,
+                                       pending=pending)
+            return x, (k_new, v_new)
+
+        return jax.lax.scan(body, x,
+                            (small, jnp.arange(L, dtype=jnp.int32)))
+
+    def body(x, per_layer):
+        layer, kv = per_layer[0], per_layer[1:]
+        x, kv, _, _ = block(x, layer, kv, None)
+        return x, kv
 
     return jax.lax.scan(body, x, (layers,) + cache_arrays)
 
 
 def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
+                   attn_impl: str = "xla", kv_pending=None,
+                   defer_out: bool = False):
     x = params["embed"][tokens] + params["pos_embed"][attn.positions]
     # deferred single-scatter writes for decode always, and for
     # prefill when the cache is unquantized (int8-KV prefill keeps
@@ -51,7 +83,12 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     cache_arrays = tuple(a for a in cache if a is not None)
 
     x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
-                        None, None, attn_impl, defer)
+                        None, None, attn_impl, defer, kv_pending=kv_pending)
+    if defer_out:
+        assert defer
+        x = layer_norm(x, params["final_norm_w"], params["final_norm_b"],
+                       cfg.layer_norm_eps)
+        return x, ys
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:

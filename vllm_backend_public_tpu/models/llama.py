@@ -14,14 +14,19 @@ import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
-from ..ops.linear import matmul
+from ..ops.linear import LayerView, matmul
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
 
 
+# big per-layer projection weights: kept stacked in HBM and indexed inside
+# the Pallas kernels during decode (LayerView) — never sliced in the scan
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
                 cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
-                defer: bool = True):
+                defer: bool = True, kv_pending=None):
     """One `lax.scan` over the stacked decoder layers.
 
     x: [B, T, H]; cache_arrays: this scan's per-layer cache arrays, each
@@ -30,7 +35,46 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
     parallel/pipeline.py). Returns (x, ys): ys = (k_news, v_news) stacked
     over the scanned layers when `defer` (caller scatters once), else the
     updated cache arrays.
+
+    Decode (T==1, deferred writes) scans over the LAYER INDEX only: the
+    big projection weights and the KV page pools stay closure-captured
+    stacked arrays that the Pallas kernels index via scalar prefetch.
+    Slicing them as scan xs looks equivalent but costs a full per-layer
+    HBM copy per step: XLA cannot fuse a dynamic-slice into an opaque
+    kernel operand (measured ~12 ms/step on Llama-3-8B before this).
     """
+    # every deferred-write path (decode AND chunked prefill) is zero-copy;
+    # only the in-scan write-then-gather path (int8-KV prefill) still
+    # carries sliced cache arrays through the scan
+    if defer:
+        small = {k: v for k, v in layers.items() if k not in _BIG_WEIGHTS}
+        L = jax.tree.leaves(layers)[0].shape[0]
+
+        def body(x, per_layer):
+            small_l, li = per_layer
+            layer = dict(small_l)
+            for k in _BIG_WEIGHTS:
+                if k in layers:
+                    layer[k] = LayerView(layers[k], li)
+            pending = None
+            if kv_pending is not None:
+                kb, vb, count = kv_pending
+                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
+                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
+                           count)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+            a, _, k_new, v_new = attention_block(
+                h, layer, cfg, attn, cache_arrays, cos, sin, attn_impl,
+                defer_write=True, layer_idx=li, pending=pending)
+            x = x + a
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+            gate = jax.nn.silu(matmul(h, layer["wg"]))
+            up = matmul(h, layer["wu"])
+            x = x + matmul(gate * up, layer["wd"])
+            return x, (k_new, v_new)
+
+        return jax.lax.scan(body, x,
+                            (small, jnp.arange(L, dtype=jnp.int32)))
 
     def body(x, per_layer):
         layer, kv = per_layer[0], per_layer[1:]
@@ -50,12 +94,21 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
 
 def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
+                   attn_impl: str = "xla", kv_pending=None,
+                   defer_out: bool = False):
     """tokens: [B, T] -> hidden states [B, T, H], updated KVCache.
 
     Decode (T==1) defers all KV-cache writes to one post-scan scatter;
     prefill uses write-then-gather inside the scan (see
     common.attention_block for why).
+
+    kv_pending: (k_buf [L, J, B, NKV, D], v_buf, count) — lookahead
+    buffer of tokens from earlier steps of a fused multi-step decode
+    call that are NOT yet in the cache; attention folds them in.
+    defer_out=True returns (hidden, (k_news, v_news)) with NO cache
+    write at all — the multi-step caller scatters once per K steps so
+    the multi-GB cache never rides the step loop's carry (a carried
+    cache costs a full device copy per iteration).
     """
     x = params["embed"][tokens]  # [B, T, H]
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
@@ -67,7 +120,11 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     cache_arrays = tuple(a for a in cache if a is not None)
 
     x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
-                        cos, sin, attn_impl, defer)
+                        cos, sin, attn_impl, defer, kv_pending=kv_pending)
+    if defer_out:
+        assert defer
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, ys
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:

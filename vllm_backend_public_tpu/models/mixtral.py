@@ -19,9 +19,15 @@ import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
-from ..ops.linear import matmul
+from ..ops.linear import LayerView, matmul
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
+
+# Attention projections go zero-copy (LayerView -> stacked Pallas kernels).
+# The expert weights stay scan-sliced: their consumers are XLA einsums,
+# which fuse the dynamic-slice (no materialized copy) — only opaque
+# Pallas operands pay the copy tax (models/llama.py:scan_layers).
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo")
 
 
 def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
@@ -45,9 +51,37 @@ def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
 
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
                 cache_arrays: tuple, cos, sin, attn_impl: str = "xla",
-                defer: bool = True):
+                defer: bool = True, kv_pending=None):
     """Layer scan over (a shard of) the stacked layers — see
     models/llama.py:scan_layers for the contract."""
+
+    if defer:
+        small = {k: v for k, v in layers.items() if k not in _BIG_WEIGHTS}
+        L = jax.tree.leaves(layers)[0].shape[0]
+
+        def body(x, per_layer):
+            small_l, li = per_layer
+            layer = dict(small_l)
+            for k in _BIG_WEIGHTS:
+                if k in layers:
+                    layer[k] = LayerView(layers[k], li)
+            pending = None
+            if kv_pending is not None:
+                kb, vb, count = kv_pending
+                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
+                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
+                           count)
+            h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
+            a, _, k_new, v_new = attention_block(
+                h, layer, cfg, attn, cache_arrays, cos, sin, attn_impl,
+                defer_write=True, layer_idx=li, pending=pending)
+            x = x + a
+            h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
+            x = x + moe_mlp(h, layer, cfg)
+            return x, (k_new, v_new)
+
+        return jax.lax.scan(body, x,
+                            (small, jnp.arange(L, dtype=jnp.int32)))
 
     def body(x, per_layer):
         layer, kv = per_layer[0], per_layer[1:]
@@ -65,7 +99,8 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
 
 def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn: AttnInputs, cache: KVCache,
-                   attn_impl: str = "xla"):
+                   attn_impl: str = "xla", kv_pending=None,
+                   defer_out: bool = False):
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
     # deferred single-scatter writes for decode always, and for
@@ -75,7 +110,11 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     cache_arrays = tuple(a for a in cache if a is not None)
 
     x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,
-                        cos, sin, attn_impl, defer)
+                        cos, sin, attn_impl, defer, kv_pending=kv_pending)
+    if defer_out:
+        assert defer
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        return x, ys
     if defer:
         cache = write_kv_all_layers(cache, ys[0], ys[1], attn)
     else:

@@ -34,14 +34,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _prefix_kernel(bt_ref, kl_ref, *refs, bs: int, scale: float,
-                   window=None, quant: bool = False):
+def _prefix_kernel(*args, bs: int, scale: float,
+                   window=None, quant: bool = False, stacked: bool = False):
+    # operands: [li_ref if stacked], bt_ref, kl_ref, then tensor refs
+    if stacked:
+        _, bt_ref, kl_ref, *refs = args
+    else:
+        bt_ref, kl_ref, *refs = args
     if quant:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref,
          o_ref, m_ref, l_ref, acc_ref, m_s, l_s) = refs
     else:
         q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs
         ks_ref = vs_ref = None
+    if stacked:
+        # page blocks are [1, 1, NKV, BS, D]: drop the layer axis
+        k_ref = k_ref.at[0]
+        v_ref = v_ref.at[0]
+        if quant:
+            ks_ref = ks_ref.at[0]
+            vs_ref = vs_ref.at[0]
     b = pl.program_id(0)
     i = pl.program_id(2)
     mb = pl.num_programs(2)
@@ -109,7 +121,8 @@ def _pick_qtile(rows: int) -> int:
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
-                           window=None, k_scale=None, v_scale=None):
+                           window=None, k_scale=None, v_scale=None,
+                           layer=None):
     """Unnormalized flash attention over cached prefix pages.
 
     q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
@@ -126,9 +139,16 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     Large R is tiled on a third grid axis (VMEM-bounded); pages are
     re-streamed per query tile.
+
+    layer: traced int32 scalar selecting a layer of STACKED pages
+    [L, NB, NKV, BS, D] (and scales [L, NB, NKV, BS]) — the kernel DMAs
+    layer pages directly out of the stacked pool via scalar-prefetch
+    indexing, so a lax.scan over layers never materializes a per-layer
+    copy of the pool.
     """
     b, r, d = q.shape
-    nb_pool, nkv, bs, _ = k_pages.shape
+    stacked = layer is not None
+    nb_pool, nkv, bs, _ = k_pages.shape[1:] if stacked else k_pages.shape
     mb = block_tables.shape[1]
     g = r // nkv
     qg = q.reshape(b, nkv, g, d)
@@ -137,39 +157,48 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     flat_bt = block_tables.reshape(-1)
 
-    def page_index(bi, qi, ii, bt, kl):
+    def page_index(bi, qi, ii, *pref):
         # clamp OOB steps to the last valid page so Mosaic's pipeline
         # skips the duplicate fetch (same index => no new DMA); with a
         # sliding window also clamp below-window steps to the first
         # in-window page
+        bt, kl = pref[-2], pref[-1]
         kv_len = kl[bi]
         last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
         ii = jnp.minimum(ii, last)
         if window is not None:
             first = jnp.maximum((kv_len - window + 1) // bs, 0)
             ii = jnp.maximum(ii, first)
-        return (bt[bi * mb + ii], 0, 0, 0)
+        page = (bt[bi * mb + ii], 0, 0, 0)
+        return (pref[0][0],) + page if stacked else page
 
-    def q_index(bi, qi, ii, bt, kl):
+    def q_index(bi, qi, ii, *pref):
         return (bi, 0, qi, 0)
 
-    def page_index3(bi, qi, ii, bt, kl):
-        return page_index(bi, qi, ii, bt, kl)[:3]
+    def page_index_s(bi, qi, ii, *pref):
+        full = page_index(bi, qi, ii, *pref)
+        return full[:-1]  # drop head_dim axis for [.., NKV, BS] scales
 
     quant = k_scale is not None
+    pg_block = (1, 1, nkv, bs, d) if stacked else (1, nkv, bs, d)
+    ps_block = (1, 1, nkv, bs) if stacked else (1, nkv, bs)
     in_specs = [
         pl.BlockSpec((1, nkv, qt, d), q_index),
-        pl.BlockSpec((1, nkv, bs, d), page_index),
-        pl.BlockSpec((1, nkv, bs, d), page_index),
+        pl.BlockSpec(pg_block, page_index),
+        pl.BlockSpec(pg_block, page_index),
     ]
     operands = [qg, k_pages, v_pages]
     if quant:
-        in_specs += [pl.BlockSpec((1, nkv, bs), page_index3),
-                     pl.BlockSpec((1, nkv, bs), page_index3)]
+        in_specs += [pl.BlockSpec(ps_block, page_index_s),
+                     pl.BlockSpec(ps_block, page_index_s)]
         operands += [k_scale, v_scale]
 
+    prefetch = [flat_bt, prefix_lens]
+    if stacked:
+        prefetch.insert(0, jnp.asarray(layer, jnp.int32).reshape(1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # block_tables, prefix_lens
+        num_scalar_prefetch=len(prefetch),  # [layer,] block_tables, lens
         grid=(b, nqt, mb),
         in_specs=in_specs,
         out_specs=(
@@ -186,7 +215,7 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     acc, m, l = pl.pallas_call(
         functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
-                          quant=quant),
+                          quant=quant, stacked=stacked),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -196,19 +225,51 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(flat_bt, prefix_lens, *operands)
+    )(*prefetch, *operands)
     return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))
+
+
+def _merge_pending(qf, accr, mr, lr, pending, scale):
+    """Fold not-yet-written tokens (multi-step decode lookahead buffer)
+    into the running online-softmax state.
+
+    pending: (k_buf [J, B, NKV, D], v_buf [J, B, NKV, D], count scalar) —
+    tokens generated by earlier steps of the SAME fused multi-step call;
+    they live in a side buffer instead of the paged cache so the cache
+    stays out of the step loop's carry (one scatter per K steps, not per
+    step — a carried multi-GB cache costs a full copy every iteration).
+    Rows j >= count are masked. All pending positions precede the current
+    token, so no causal test beyond the count is needed.
+    """
+    k_buf, v_buf, count = pending
+    kp = k_buf.astype(jnp.float32)
+    vp = v_buf.astype(jnp.float32)
+    # [B, NKV, G, J]
+    sp = jnp.einsum("bkgd,jbkd->bkgj", qf, kp) * scale
+    j_idx = jnp.arange(kp.shape[0], dtype=jnp.int32)
+    sp = jnp.where(j_idx[None, None, None, :] < count, sp, NEG_INF)
+    m_p = jnp.max(sp, axis=-1, keepdims=True)
+    m_tot = jnp.maximum(mr, m_p)
+    alpha = jnp.exp(mr - m_tot)
+    pp = jnp.exp(sp - m_tot)
+    l_tot = lr * alpha + jnp.sum(pp, axis=-1, keepdims=True)
+    acc_tot = accr * alpha + jnp.einsum("bkgj,jbkd->bkgd", pp, vp)
+    return acc_tot, m_tot, l_tot
 
 
 def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
                               block_tables, prefix_lens, scale: float,
                               interpret: bool = False,
-                              k_scale=None, v_scale=None, window=None):
+                              k_scale=None, v_scale=None, window=None,
+                              layer=None, pending=None):
     """Full decode attention WITHOUT writing the cache: prefix pages via
     the Pallas kernel + the new token's own KV merged in-register.
 
     q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D]. int8 KV pages
     dequantize inside the kernel (per-(page, head, token) scales).
+    layer: index into STACKED pages (see paged_prefix_attention).
+    pending: lookahead-buffer tokens from earlier steps of a fused
+    multi-step call (see _merge_pending).
     """
     b, nh, d = q.shape
     nkv = k_new.shape[1]
@@ -216,14 +277,17 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
     acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
                                        prefix_lens, scale,
                                        interpret=interpret, window=window,
-                                       k_scale=k_scale, v_scale=v_scale)
+                                       k_scale=k_scale, v_scale=v_scale,
+                                       layer=layer)
     qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
-    kf = k_new.astype(jnp.float32)  # [B, NKV, D]
-    vf = v_new.astype(jnp.float32)
-    s1 = jnp.einsum("bkgd,bkd->bkg", qf, kf)[..., None] * scale  # [B,NKV,G,1]
     accr = acc.reshape(b, nkv, g, d)
     mr = m.reshape(b, nkv, g, 1)
     lr = l.reshape(b, nkv, g, 1)
+    if pending is not None:
+        accr, mr, lr = _merge_pending(qf, accr, mr, lr, pending, scale)
+    kf = k_new.astype(jnp.float32)  # [B, NKV, D]
+    vf = v_new.astype(jnp.float32)
+    s1 = jnp.einsum("bkgd,bkd->bkg", qf, kf)[..., None] * scale  # [B,NKV,G,1]
     m_tot = jnp.maximum(mr, s1)
     alpha = jnp.exp(mr - m_tot)
     p1 = jnp.exp(s1 - m_tot)
@@ -235,7 +299,8 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
 def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
                                      block_tables, prefix_lens, write_mask,
                                      scale: float, interpret: bool = False,
-                                     use_kernel: bool = True, window=None):
+                                     use_kernel: bool = True, window=None,
+                                     layer=None):
     """Chunked-prefill attention WITHOUT writing the cache.
 
     q, k_chunk, v_chunk: [B, T, NH|NKV, D] — the current chunk (global
@@ -259,10 +324,15 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     if use_kernel:
         acc1, m1, l1 = paged_prefix_attention(
             qr, k_pages, v_pages, block_tables, prefix_lens, scale,
-            interpret=interpret)
+            interpret=interpret, layer=layer)
     else:
         from ..models.common import gather_pages
 
+        if layer is not None:
+            k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer, 0,
+                                                   keepdims=False)
+            v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer, 0,
+                                                   keepdims=False)
         kp = gather_pages(k_pages, block_tables)  # [B, NKV, CTX, D]
         vp = gather_pages(v_pages, block_tables)
         qg = qr.reshape(b, nkv, t * g, d).astype(jnp.float32)
@@ -324,10 +394,12 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
 
 def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
                                   block_tables, prefix_lens, scale: float,
-                                  k_scale=None, v_scale=None, window=None):
+                                  k_scale=None, v_scale=None, window=None,
+                                  pending=None):
     """XLA reference for the deferred decode path (gather-based).
 
-    Supports int8 KV pages via per-(block, head, token) scales."""
+    Supports int8 KV pages via per-(block, head, token) scales, and the
+    multi-step lookahead buffer (`pending`, see _merge_pending)."""
     from ..models.common import gather_pages
 
     b, nh, d = q.shape
@@ -337,17 +409,30 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
     g = nh // nkv
     k = gather_pages(k_pages, block_tables, k_scale)
     v = gather_pages(v_pages, block_tables, v_scale)
+    extra = 1
+    if pending is not None:
+        k_buf, v_buf, count = pending
+        j = k_buf.shape[0]
+        extra += j
+        kp = k_buf.transpose(1, 2, 0, 3).astype(k.dtype)   # [B, NKV, J, D]
+        vp = v_buf.transpose(1, 2, 0, 3).astype(v.dtype)
+        k = jnp.concatenate([k, kp], axis=2)
+        v = jnp.concatenate([v, vp], axis=2)
     k = jnp.concatenate([k, k_new[:, :, None, :].astype(k.dtype)], axis=2)
     v = jnp.concatenate([v, v_new[:, :, None, :].astype(v.dtype)], axis=2)
     qg = q.reshape(b, nkv, g, d)
     s = jnp.einsum("bkgd,bkcd->bkgc", qg.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    pos = jnp.arange(ctx + 1, dtype=jnp.int32)[None, :]
-    valid = (pos < prefix_lens[:, None]) | (pos == ctx)
+    pos = jnp.arange(ctx + extra, dtype=jnp.int32)[None, :]
+    self_col = ctx + extra - 1
+    valid = (pos < prefix_lens[:, None]) | (pos == self_col)
+    if pending is not None:
+        # buffer rows j < count are earlier tokens of this fused call
+        valid |= (pos >= ctx) & (pos < ctx + count)
     if window is not None:
-        # query position = prefix_lens; the new token (pos == ctx
-        # sentinel) is its own key and always in-window
-        valid &= (pos > prefix_lens[:, None] - window) | (pos == ctx)
+        # query position = prefix_lens (+count); self/pending keys are
+        # always in-window
+        valid &= ((pos > prefix_lens[:, None] - window) | (pos >= ctx))
     s = jnp.where(valid[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))

@@ -57,14 +57,73 @@ def is_quantized(w) -> bool:
 import os
 KERNELS_ENABLED = os.environ.get("VBPT_DISABLE_KERNELS", "") != "1"
 
+# 8-bit matmul implementation. Measured on one v5e chip (Llama-3-8B w8a8
+# decode, b64): XLA's fused convert+int8-dot outperforms the Pallas
+# kernels even with zero-copy stacked-layer indexing (25.4 vs 29.1 ms
+# step) — XLA overlaps the weight streams of adjacent matmuls across op
+# boundaries, which per-call Pallas pipelines can't. Packed INT4 always
+# uses Pallas (XLA would materialize the unpacked weights: >2x traffic).
+MATMUL_IMPL = os.environ.get("VBPT_MATMUL_IMPL", "xla")  # "xla"|"pallas"
+
 
 def set_kernels_enabled(flag: bool) -> None:
     global KERNELS_ENABLED
     KERNELS_ENABLED = bool(flag)
 
 
+class LayerView:
+    """Layer `idx` of a stacked [L, ...] weight, resolved inside the kernel.
+
+    Built in the layer-scan body from a closure-captured stacked weight and
+    the traced layer index. `matmul` routes it to the *_stacked Pallas
+    kernels, which DMA the layer's tiles straight out of the stacked HBM
+    array via a scalar-prefetch block index — no per-layer copy. On
+    non-TPU (or tile-unfriendly shapes) it degrades to dynamic-index +
+    the regular path."""
+
+    __slots__ = ("w", "idx")
+
+    def __init__(self, w, idx):
+        self.w = w          # stacked array or QuantizedWeight ([L, ...])
+        self.idx = idx      # traced int32 scalar
+
+
+def _slice_layer(w, idx):
+    if is_quantized(w):
+        return QuantizedWeight(
+            w.kind, jax.lax.dynamic_index_in_dim(w.q, idx, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(w.s, idx, 0, keepdims=False), w.g)
+    return jax.lax.dynamic_index_in_dim(w, idx, 0, keepdims=False)
+
+
+def _matmul_layer_view(x: jax.Array, v: LayerView) -> jax.Array:
+    w, idx = v.w, v.idx
+    if not is_quantized(w):
+        return x @ _slice_layer(w, idx)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    n = w.q.shape[-1]
+    if w.kind in ("int8", "fp8") and _use_fused_kernel(x, w, stacked=True):
+        from .matmul_q import matmul_quantized_stacked
+        return matmul_quantized_stacked(x2, w.q, w.s, idx).reshape(*lead, n)
+    if w.kind == "w8a8" and _use_fused_kernel(x, w, stacked=True):
+        from .matmul_q import matmul_w8a8_stacked
+        return matmul_w8a8_stacked(x2, w.q, w.s, idx).reshape(*lead, n)
+    if w.kind == "int4":
+        sliced = _slice_layer(w, idx)
+        if _int4_kernel_ok(x, sliced):
+            from .matmul_q import matmul_int4_stacked
+            return matmul_int4_stacked(x2, w.q, w.s, w.g,
+                                       idx).reshape(*lead, n)
+        return _int4_matmul(x, sliced)
+    return matmul(x, _slice_layer(w, idx))
+
+
 def matmul(x: jax.Array, w) -> jax.Array:
-    """x: [..., in] @ w -> [..., out]; dense or quantized."""
+    """x: [..., in] @ w -> [..., out]; dense or quantized; a LayerView
+    resolves its layer inside the kernel (zero-copy stacked weights)."""
+    if isinstance(w, LayerView):
+        return _matmul_layer_view(x, w)
     if not is_quantized(w):
         return x @ w
     if w.kind in ("int8", "fp8"):
@@ -110,15 +169,16 @@ def _w8a8_matmul(x: jax.Array, w: QuantizedWeight) -> jax.Array:
     return (y.astype(jnp.float32) * sx * w.s).astype(x.dtype)
 
 
-def _use_fused_kernel(x, w) -> bool:
+def _use_fused_kernel(x, w, stacked: bool = False) -> bool:
     """Fused Pallas dequant+matmul needs TPU + tile-friendly shapes."""
-    if (not KERNELS_ENABLED or jax.default_backend() != "tpu"
-            or w.q.ndim != 2):
+    want_ndim = 3 if stacked else 2
+    if (MATMUL_IMPL != "pallas" or not KERNELS_ENABLED
+            or jax.default_backend() != "tpu" or w.q.ndim != want_ndim):
         return False
     m = 1
     for dim in x.shape[:-1]:
         m *= dim
-    k, n = w.q.shape
+    k, n = w.q.shape[-2:]
     return m % 8 == 0 and m <= 1024 and k % 128 == 0 and n % 128 == 0
 
 

@@ -114,6 +114,211 @@ def matmul_w8a8(x: jax.Array, w_q: jax.Array, scale: jax.Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Stacked-layer variants: weights stay [L, K, N] in HBM and the kernel
+# DMAs layer `li` directly via a scalar-prefetch index in the BlockSpec.
+# This is THE zero-copy path for a lax.scan over layers: slicing a stacked
+# weight in the scan body and feeding the slice to a pallas_call forces
+# XLA to materialize a full per-layer copy (an opaque custom call can't
+# fuse a dynamic-slice producer) — measured ~10 ms/step of pure HBM->HBM
+# copy on Llama-3-8B decode before this path existed.
+# ---------------------------------------------------------------------------
+
+def _w8a8_stacked_kernel(li_ref, x_ref, w_ref, sx_ref, sw_ref, o_ref,
+                         acc_ref, *, n_k: int):
+    del li_ref
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(x_ref[:], w_ref[0],
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * sx_ref[:]
+                    * sw_ref[0]).astype(o_ref.dtype)
+
+
+def _matmul_q_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                             n_k: int):
+    del li_ref
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[0].astype(jnp.float32)
+    acc_ref[:] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+def _pick_blocks(kdim, n, block_k, block_n):
+    def pick(block, dim):
+        for c in (block, 384, 256, 128):
+            if c <= block and dim % c == 0:
+                return c
+        return None
+    return pick(block_k, kdim), pick(block_n, n)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_n", "interpret"))
+def matmul_w8a8_stacked(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                        layer: jax.Array, block_k: int = 512,
+                        block_n: int = 1024,
+                        interpret: bool = False) -> jax.Array:
+    """W8A8 against layer `layer` of stacked weights, zero-copy.
+
+    x [M, K]; w_q [L, K, N] int8; scale [L, N] f32; layer scalar int32."""
+    from .linear import quantize_activations
+
+    m, kdim = x.shape
+    _, _, n = w_q.shape
+    x8, sx = quantize_activations(x)
+    bk, bn = _pick_blocks(kdim, n, block_k, block_n)
+    n_k = kdim // bk
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda ni, ki, li: (0, ki)),
+            pl.BlockSpec((1, bk, bn), lambda ni, ki, li: (li[0], ki, ni)),
+            pl.BlockSpec((m, 1), lambda ni, ki, li: (0, 0)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki, li: (li[0], 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki, li: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32)])
+    return pl.pallas_call(
+        functools.partial(_w8a8_stacked_kernel, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(li, x8, w_q, sx, scale.reshape(-1, 1, n).astype(jnp.float32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_n", "interpret"))
+def matmul_quantized_stacked(x: jax.Array, w_q: jax.Array, scale: jax.Array,
+                             layer: jax.Array, block_k: int = 512,
+                             block_n: int = 1024,
+                             interpret: bool = False) -> jax.Array:
+    """Weight-only int8/fp8 against layer `layer` of stacked weights.
+
+    x [M, K]; w_q [L, K, N]; scale [L, N] f32; layer scalar int32."""
+    m, kdim = x.shape
+    _, _, n = w_q.shape
+    bk, bn = _pick_blocks(kdim, n, block_k, block_n)
+    n_k = kdim // bk
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, bk), lambda ni, ki, li: (0, ki)),
+            pl.BlockSpec((1, bk, bn), lambda ni, ki, li: (li[0], ki, ni)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki, li: (li[0], 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki, li: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)])
+    return pl.pallas_call(
+        functools.partial(_matmul_q_stacked_kernel, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(li, x, w_q, scale.reshape(-1, 1, n).astype(jnp.float32))
+
+
+def _int4_stacked_kernel(li_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                         n_k: int, g: int, gpb: int):
+    del li_ref
+    k = pl.program_id(1)
+    sbase = k * gpb
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f = w_ref[0].astype(jnp.float32)
+    hi = jnp.floor(f * 0.0625)
+    lo = f - hi * 16.0
+    for gi in range(gpb):
+        rows = slice(gi * g, (gi + 1) * g)
+        xl = x_ref[:, 0, rows].astype(jnp.float32)
+        xh = x_ref[:, 1, rows].astype(jnp.float32)
+        yl = jax.lax.dot(xl, lo[rows], preferred_element_type=jnp.float32)
+        yh = jax.lax.dot(xh, hi[rows], preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xl, axis=1, keepdims=True)
+        sl = s_ref[0, 0, pl.ds(sbase + gi, 1), :]
+        sh = s_ref[0, 1, pl.ds(sbase + gi, 1), :]
+        acc_ref[:] += (yl - 8.0 * xsum) * sl + yh * sh
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("g", "block_k", "block_n", "interpret"))
+def matmul_int4_stacked(x: jax.Array, w_packed: jax.Array, scale: jax.Array,
+                        g: int, layer: jax.Array, block_k: int = 512,
+                        block_n: int = 512,
+                        interpret: bool = False) -> jax.Array:
+    """Packed INT4 against layer `layer` of stacked weights, zero-copy.
+
+    x [M, K]; w_packed [L, K/2, N] int8; scale [L, K/g, N]; layer int32."""
+    m, kdim = x.shape
+    _, k2, n = w_packed.shape
+    ng = kdim // g
+
+    bkp = block_k
+    while k2 % bkp or bkp % g:
+        bkp //= 2
+    bn = block_n
+    while n % bn:
+        bn //= 2
+    n_k = k2 // bkp
+    gpb = bkp // g
+
+    x_r = x.reshape(m, 2, k2)
+    s_r = scale.reshape(-1, 2, ng // 2, n).astype(jnp.float32)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, 2, bkp), lambda ni, ki, li: (0, 0, ki)),
+            pl.BlockSpec((1, bkp, bn), lambda ni, ki, li: (li[0], ki, ni)),
+            pl.BlockSpec((1, 2, ng // 2, bn),
+                         lambda ni, ki, li: (li[0], 0, 0, ni)),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda ni, ki, li: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)])
+    return pl.pallas_call(
+        functools.partial(_int4_stacked_kernel, n_k=n_k, g=g, gpb=gpb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(li, x_r, w_packed, s_r)
+
+
 def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
                  n_k: int, g: int, gpb: int):
     k = pl.program_id(1)

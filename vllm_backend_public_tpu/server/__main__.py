@@ -85,7 +85,9 @@ def build_engine(args):
         max_num_batched_tokens=args.max_num_batched_tokens,
         hbm_utilization=args.hbm_utilization,
         tensor_parallel_size=args.tensor_parallel_size,
-        data_parallel_size=args.data_parallel_size)
+        data_parallel_size=args.data_parallel_size,
+        pipeline_parallel_size=getattr(args, "pipeline_parallel_size", 1),
+        expert_parallel_size=getattr(args, "expert_parallel_size", 1))
     tok = Tokenizer.from_path(args.model)
     return LLMEngine(econ, tokenizer=tok), tok
 
@@ -108,6 +110,20 @@ def main(argv=None):
     ap.add_argument("--hbm-utilization", type=float, default=0.9)
     ap.add_argument("--tensor-parallel-size", type=int, default=1)
     ap.add_argument("--data-parallel-size", type=int, default=1)
+    ap.add_argument("--pipeline-parallel-size", type=int, default=1)
+    ap.add_argument("--expert-parallel-size", type=int, default=1)
+    # multi-host SPMD runtime (TPU pod slice). The TPU-native replacement
+    # for vLLM's NCCL/Ray world bring-up (--worker-use-ray etc., reference
+    # configs/test_small_model.yaml:25): every host runs this same server
+    # binary; jax.distributed.initialize wires the slice over ICI/DCN and
+    # GSPMD compiles the collectives into the jitted step.
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() (multi-host "
+                         "pod slice; coordinator/process env auto-detected "
+                         "on TPU, or set --coordinator-address)")
+    ap.add_argument("--coordinator-address", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -127,6 +143,21 @@ def main(argv=None):
     faulthandler.register(signal.SIGUSR1, all_threads=True)
     if not args.demo and not args.model:
         ap.error("--model or --demo required")
+
+    if args.distributed:
+        import jax
+
+        kw = {}
+        if args.coordinator_address:
+            kw["coordinator_address"] = args.coordinator_address
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        jax.distributed.initialize(**kw)
+        logging.info("distributed runtime: process %d/%d, %d devices",
+                     jax.process_index(), jax.process_count(),
+                     len(jax.devices()))
 
     engine, tok = (build_demo_engine(args) if args.demo
                    else build_engine(args))
