@@ -22,8 +22,11 @@ class EngineConfig:
     quantization: Optional[str] = None   # None|"int8"|"fp8"|"w8a8"|"int4"
     kv_cache_dtype: Optional[str] = None  # None (=dtype) | "int8" | "fp8"
 
-    # KV cache / batching (names match the reference's flag surface)
-    block_size: int = 16                 # tokens per KV block
+    # KV cache / batching (names match the reference's flag surface).
+    # 64-token pages measured best on v5e (fewer attention-kernel grid
+    # steps than 16 — see ARCHITECTURE.md; 128 is marginally faster for
+    # decode but halves prefix-cache hit granularity)
+    block_size: int = 64                 # tokens per KV block
     max_num_seqs: int = 8                # decode batch width
     max_model_len: int = 2048            # max context length per sequence
     max_num_batched_tokens: int = 512    # prefill chunk budget per step

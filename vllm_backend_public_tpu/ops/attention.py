@@ -35,29 +35,36 @@ NEG_INF = -1e30
 
 
 def _prefix_kernel(*args, bs: int, scale: float,
-                   window=None, quant: bool = False, stacked: bool = False):
+                   window=None, quant: bool = False, stacked: bool = False,
+                   S: int = 1):
+    """Online-softmax over one page per grid step for S sequences at once.
+
+    S > 1 exists to beat LATENCY, not throughput: one sequence's
+    online-softmax update is a ~15-op serial dependency chain on skinny
+    [NKV, G, *] vectors, so a single chain leaves the VPU mostly idle
+    (measured: full kernel 257us/layer vs 80us DMA floor at S=1,
+    batch 64 x 3 pages). S independent chains interleave in the
+    compiler's schedule and amortize the per-grid-step fixed cost.
+    """
     # operands: [li_ref if stacked], bt_ref, kl_ref, then tensor refs
-    if stacked:
-        _, bt_ref, kl_ref, *refs = args
-    else:
-        bt_ref, kl_ref, *refs = args
+    pref = 3 if stacked else 2
+    bt_ref, kl_ref = args[pref - 2], args[pref - 1]
+    refs = list(args[pref:])
+    q_ref = refs[0]
+    k_refs = refs[1:1 + S]
+    v_refs = refs[1 + S:1 + 2 * S]
+    idx = 1 + 2 * S
     if quant:
-        (q_ref, k_ref, v_ref, ks_ref, vs_ref,
-         o_ref, m_ref, l_ref, acc_ref, m_s, l_s) = refs
+        ks_refs = refs[idx:idx + S]
+        vs_refs = refs[idx + S:idx + 2 * S]
+        idx += 2 * S
     else:
-        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs
-        ks_ref = vs_ref = None
-    if stacked:
-        # page blocks are [1, 1, NKV, BS, D]: drop the layer axis
-        k_ref = k_ref.at[0]
-        v_ref = v_ref.at[0]
-        if quant:
-            ks_ref = ks_ref.at[0]
-            vs_ref = vs_ref.at[0]
-    b = pl.program_id(0)
+        ks_refs = vs_refs = [None] * S
+    o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs[idx:]
+
+    bi = pl.program_id(0)
     i = pl.program_id(2)
     mb = pl.num_programs(2)
-    kv_len = kl_ref[b]
 
     @pl.when(i == 0)
     def _():
@@ -65,48 +72,59 @@ def _prefix_kernel(*args, bs: int, scale: float,
         l_s[:] = jnp.zeros_like(l_s)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    valid = kv_len - i * bs
-    process = valid > 0
-    if window is not None:
-        # sliding window (decode: every query row sits at position
-        # kv_len): cache keys valid iff pos > kv_len - window; skip pages
-        # entirely below the window
-        process &= (i * bs + bs - 1) > (kv_len - window)
-
-    @pl.when(process)
-    def _():
-        q = q_ref[0].astype(jnp.float32)           # [NKV, G, D]
-        k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
-        v = v_ref[0].astype(jnp.float32)
-        if quant:
-            # int8 pages dequantized in VMEM: per-(page, head, token)
-            # scales; DMA traffic stays 1 byte/elem
-            k = k * ks_ref[0][..., None]
-            v = v * vs_ref[0][..., None]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        keep = col < valid
+    for j in range(S):
+        kv_len = kl_ref[bi * S + j]
+        valid = kv_len - i * bs
+        process = valid > 0
         if window is not None:
-            keep &= (col + i * bs) > (kv_len - window)
-        s = jnp.where(keep, s, NEG_INF)
+            # sliding window (decode: every query row sits at position
+            # kv_len): cache keys valid iff pos > kv_len - window; skip
+            # pages entirely below the window
+            process &= (i * bs + bs - 1) > (kv_len - window)
 
-        m_prev = m_s[:]                            # [NKV, G, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        m_s[:] = m_new
+        @pl.when(process)
+        def _(j=j, kv_len=kv_len, valid=valid):
+            k_ref, v_ref = k_refs[j], v_refs[j]
+            ks_ref, vs_ref = ks_refs[j], vs_refs[j]
+            if stacked:
+                # page blocks are [1, 1, NKV, BS, D]: drop the layer axis
+                k_ref = k_ref.at[0]
+                v_ref = v_ref.at[0]
+                if quant:
+                    ks_ref = ks_ref.at[0]
+                    vs_ref = vs_ref.at[0]
+            q = q_ref[j].astype(jnp.float32)           # [NKV, G, D]
+            k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
+            v = v_ref[0].astype(jnp.float32)
+            if quant:
+                # int8 pages dequantized in VMEM: per-(page, head, token)
+                # scales; DMA traffic stays 1 byte/elem
+                k = k * ks_ref[0][..., None]
+                v = v * vs_ref[0][..., None]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            keep = col < valid
+            if window is not None:
+                keep &= (col + i * bs) > (kv_len - window)
+            s = jnp.where(keep, s, NEG_INF)
+
+            m_prev = m_s[j]                            # [NKV, G, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2, keepdims=True)
+            acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m_s[j] = m_new
 
     @pl.when(i == mb - 1)
     def _():
-        o_ref[0] = acc_ref[:].astype(o_ref.dtype)  # UNnormalized
-        m_ref[0] = m_s[:]
-        l_ref[0] = l_s[:]
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)  # UNnormalized
+        m_ref[:] = m_s[:]
+        l_ref[:] = l_s[:]
 
 
 def _pick_qtile(rows: int) -> int:
@@ -154,44 +172,60 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     qg = q.reshape(b, nkv, g, d)
     qt = _pick_qtile(g)
     nqt = g // qt
+    # S sequences per grid step: their independent online-softmax chains
+    # interleave (see _prefix_kernel). Decode only (nqt == 1; chunked
+    # prefill's wide q tiles keep the VPU busy by themselves).
+    S = 1
+    if nqt == 1:
+        for cand in (4, 2):
+            if b % cand == 0:
+                S = cand
+                break
 
     flat_bt = block_tables.reshape(-1)
 
-    def page_index(bi, qi, ii, *pref):
-        # clamp OOB steps to the last valid page so Mosaic's pipeline
-        # skips the duplicate fetch (same index => no new DMA); with a
-        # sliding window also clamp below-window steps to the first
-        # in-window page
-        bt, kl = pref[-2], pref[-1]
-        kv_len = kl[bi]
-        last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
-        ii = jnp.minimum(ii, last)
-        if window is not None:
-            first = jnp.maximum((kv_len - window + 1) // bs, 0)
-            ii = jnp.maximum(ii, first)
-        page = (bt[bi * mb + ii], 0, 0, 0)
-        return (pref[0][0],) + page if stacked else page
+    def page_index_j(j):
+        def index(bi, qi, ii, *pref):
+            # clamp OOB steps to the last valid page so Mosaic's pipeline
+            # skips the duplicate fetch (same index => no new DMA); with a
+            # sliding window also clamp below-window steps to the first
+            # in-window page
+            bt, kl = pref[-2], pref[-1]
+            bseq = bi * S + j
+            kv_len = kl[bseq]
+            last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
+            ii = jnp.minimum(ii, last)
+            if window is not None:
+                first = jnp.maximum((kv_len - window + 1) // bs, 0)
+                ii = jnp.maximum(ii, first)
+            page = (bt[bseq * mb + ii], 0, 0, 0)
+            return (pref[0][0],) + page if stacked else page
+        return index
+
+    def page_index_js(j):
+        def index(bi, qi, ii, *pref):
+            return page_index_j(j)(bi, qi, ii, *pref)[:-1]
+        return index
 
     def q_index(bi, qi, ii, *pref):
         return (bi, 0, qi, 0)
 
-    def page_index_s(bi, qi, ii, *pref):
-        full = page_index(bi, qi, ii, *pref)
-        return full[:-1]  # drop head_dim axis for [.., NKV, BS] scales
-
     quant = k_scale is not None
     pg_block = (1, 1, nkv, bs, d) if stacked else (1, nkv, bs, d)
     ps_block = (1, 1, nkv, bs) if stacked else (1, nkv, bs)
-    in_specs = [
-        pl.BlockSpec((1, nkv, qt, d), q_index),
-        pl.BlockSpec(pg_block, page_index),
-        pl.BlockSpec(pg_block, page_index),
-    ]
-    operands = [qg, k_pages, v_pages]
+    in_specs = [pl.BlockSpec((S, nkv, qt, d), q_index)]
+    operands = [qg]
+    in_specs += [pl.BlockSpec(pg_block, page_index_j(j)) for j in range(S)]
+    operands += [k_pages] * S
+    in_specs += [pl.BlockSpec(pg_block, page_index_j(j)) for j in range(S)]
+    operands += [v_pages] * S
     if quant:
-        in_specs += [pl.BlockSpec(ps_block, page_index_s),
-                     pl.BlockSpec(ps_block, page_index_s)]
-        operands += [k_scale, v_scale]
+        in_specs += [pl.BlockSpec(ps_block, page_index_js(j))
+                     for j in range(S)]
+        operands += [k_scale] * S
+        in_specs += [pl.BlockSpec(ps_block, page_index_js(j))
+                     for j in range(S)]
+        operands += [v_scale] * S
 
     prefetch = [flat_bt, prefix_lens]
     if stacked:
@@ -199,23 +233,23 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),  # [layer,] block_tables, lens
-        grid=(b, nqt, mb),
+        grid=(b // S, nqt, mb),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, nkv, qt, d), q_index),
-            pl.BlockSpec((1, nkv, qt, 1), q_index),
-            pl.BlockSpec((1, nkv, qt, 1), q_index),
+            pl.BlockSpec((S, nkv, qt, d), q_index),
+            pl.BlockSpec((S, nkv, qt, 1), q_index),
+            pl.BlockSpec((S, nkv, qt, 1), q_index),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nkv, qt, d), jnp.float32),
-            pltpu.VMEM((nkv, qt, 1), jnp.float32),
-            pltpu.VMEM((nkv, qt, 1), jnp.float32),
+            pltpu.VMEM((S, nkv, qt, d), jnp.float32),
+            pltpu.VMEM((S, nkv, qt, 1), jnp.float32),
+            pltpu.VMEM((S, nkv, qt, 1), jnp.float32),
         ],
     )
 
     acc, m, l = pl.pallas_call(
         functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
-                          quant=quant, stacked=stacked),
+                          quant=quant, stacked=stacked, S=S),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
