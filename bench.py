@@ -106,18 +106,18 @@ def main():
                     choices=["none", "int8", "w8a8", "fp8", "int4"],
                     help="w8a8 (int8 weights + dynamic int8 activations) "
                          "is the fastest int8 scheme on the MXU")
-    ap.add_argument("--kv-dtype", default=None,
-                    choices=[None, "auto", "int8"],
+    ap.add_argument("--kv-dtype", default="int8",
+                    choices=["auto", "int8"],
                     help="int8 = quantized KV cache (dequant in-kernel)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64,
                     help="total decode tokens per sequence to time")
     ap.add_argument("--max-model-len", type=int, default=384)
-    ap.add_argument("--block-size", type=int, default=16,
+    ap.add_argument("--block-size", type=int, default=128,
                     help="KV page size in tokens (bigger pages = fewer "
                          "attention-kernel grid steps per layer)")
-    ap.add_argument("--multi-step", type=int, default=16,
+    ap.add_argument("--multi-step", type=int, default=32,
                     help="decode steps fused per device dispatch")
     args = ap.parse_args()
 

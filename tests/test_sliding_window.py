@@ -145,3 +145,49 @@ def test_window_engine_end_to_end():
         want.append(tok)
         seq.append(tok)
     assert out == want
+
+
+def test_window_page_recycling():
+    """Pages wholly below the window are freed back to the pool during
+    decode (block-table entries become the null block) without changing
+    the generated tokens."""
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    hf_cfg, model = _tiny_mistral_torch()
+    cfg, params = _ours(hf_cfg.to_dict(), model.state_dict())
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 256, size=12).tolist()
+    n_out = 24
+
+    eng = LLMEngine(
+        EngineConfig(model="m", dtype="float32", block_size=4,
+                     max_num_seqs=2, max_model_len=64, num_kv_blocks=24,
+                     enable_prefix_caching=False, decode_steps_per_call=2),
+        model_cfg=cfg, params=params)
+    assert eng.scheduler.sliding_window == WINDOW
+    rid = eng.add_request(prompt, SamplingParams(
+        max_tokens=n_out, temperature=0.0, ignore_eos=True))
+    req = eng._requests[rid]
+
+    saw_recycled = False
+    out = []
+    while eng.has_unfinished():
+        for o in eng.step():
+            out.extend(o.new_token_ids)
+        if req.block_ids and req.block_ids[0] == 0:
+            saw_recycled = True
+    assert saw_recycled, "head pages were never recycled"
+    # pool fully restored after finish (no leaked / double-freed pages)
+    assert eng.allocator.num_free == eng.allocator.num_blocks - 1
+
+    # stepwise oracle: full re-prefill per token
+    seq = list(prompt)
+    want = []
+    for _ in range(n_out):
+        logits, _ = _forward(cfg, params, seq, bs=4, mb=16)
+        tok = int(np.argmax(logits[-1]))
+        want.append(tok)
+        seq.append(tok)
+    assert out == want

@@ -124,7 +124,8 @@ class LLMEngine:
         self.allocator = make_allocator(
             num_blocks, econfig.block_size,
             prefer_native=econfig.enable_prefix_caching)
-        self.scheduler = Scheduler(econfig, self.allocator)
+        self.scheduler = Scheduler(econfig, self.allocator,
+                                   sliding_window=model_cfg.sliding_window)
 
         B = econfig.max_num_seqs
         MB = econfig.max_blocks_per_seq
@@ -499,9 +500,10 @@ class LLMEngine:
         # refresh block tables (scheduler may have appended blocks)
         for req in plan.requests:
             s = req.slot
-            if len(req.block_ids) != self._bt_len[s]:
+            if len(req.block_ids) != self._bt_len[s] or req.bt_dirty:
                 self._bt[s, :len(req.block_ids)] = req.block_ids
                 self._bt_len[s] = len(req.block_ids)
+                req.bt_dirty = False
                 self._dev = None
         if self._dev is None:
             self._upload_dev_state()

@@ -81,6 +81,10 @@ class Request:
     finish_time: Optional[float] = None
     # decode slot while running (index into the static decode batch)
     slot: Optional[int] = None
+    # block-table entries changed in place (sliding-window recycling
+    # nulls head pages without changing len(block_ids)); the engine must
+    # re-upload this row even though the length is unchanged
+    bt_dirty: bool = False
 
     def __post_init__(self):
         if not self.request_id:

@@ -54,9 +54,11 @@ class SchedulerOutput:
 
 
 class Scheduler:
-    def __init__(self, cfg: EngineConfig, allocator: BlockAllocator):
+    def __init__(self, cfg: EngineConfig, allocator: BlockAllocator,
+                 sliding_window: Optional[int] = None):
         self.cfg = cfg
         self.allocator = allocator
+        self.sliding_window = sliding_window
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self._free_slots = list(range(cfg.max_num_seqs - 1, -1, -1))
@@ -143,6 +145,8 @@ class Scheduler:
         # the final sampled token's KV was never computed
         cached_valid = req.num_tokens - 1
         nb_full = min(cached_valid // bs, len(req.block_ids))
+        if 0 in req.block_ids[:nb_full]:
+            return  # head pages recycled (sliding window): KV is gone
         if nb_full > 0:
             self.allocator.prefix_insert(req.all_token_ids[:nb_full * bs],
                                          req.block_ids[:nb_full])
@@ -165,10 +169,37 @@ class Scheduler:
             req.block_ids.extend(self.allocator.allocate(need_blocks))
         return PrefillPlan(request=req, start=start, length=length, bucket=bucket)
 
+    def _recycle_window_blocks(self, req: Request) -> None:
+        """Sliding-window models: free whole pages that have fallen out of
+        the attention window (the decode kernel clamps its page loop to
+        first = (kv_len - window + 1) // block_size, so pages below that
+        index are never read again — the window only moves forward). The
+        freed page's block-table entry becomes the null block (0); list
+        positions are preserved so later pages keep their indices.
+
+        vLLM handles this with a rolling buffer; with paged KV the natural
+        TPU analog is head-page recycling into the shared pool."""
+        w = self.sliding_window
+        if w is None:
+            return
+        bs = self.cfg.block_size
+        cached = req.num_tokens - 1  # tokens whose KV is materialized
+        first = max(0, cached - w + 1) // bs
+        freed = []
+        for i in range(min(first, len(req.block_ids))):
+            b = req.block_ids[i]
+            if b != 0:
+                freed.append(b)
+                req.block_ids[i] = 0
+        if freed:
+            self.allocator.free(freed)
+            req.bt_dirty = True
+
     def _ensure_decode_blocks(self, out: SchedulerOutput) -> None:
         """Every running seq needs capacity for the next multi-step chunk."""
         lookahead = self.cfg.decode_steps_per_call
         for req in list(self.running):
+            self._recycle_window_blocks(req)
             need_tokens = min(req.num_tokens + lookahead,
                               self.cfg.max_model_len)
             need_blocks = (-(-need_tokens // self.cfg.block_size)
@@ -194,7 +225,7 @@ class Scheduler:
         return True
 
     def _preempt(self, req: Request, out: SchedulerOutput) -> None:
-        self.allocator.free(req.block_ids)
+        self.allocator.free([b for b in req.block_ids if b != 0])
         req.block_ids = []
         # recompute-from-scratch restart: generated tokens are folded into
         # the prompt so decode resumes where it left off
@@ -235,7 +266,7 @@ class Scheduler:
         if req.block_ids:
             if status != RequestStatus.FINISHED_ABORTED:
                 self._maybe_cache_prefix(req)
-            self.allocator.free(req.block_ids)
+            self.allocator.free([b for b in req.block_ids if b != 0])
             req.block_ids = []
         if req.slot is not None:
             self._free_slots.append(req.slot)

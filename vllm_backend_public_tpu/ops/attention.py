@@ -173,12 +173,15 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     qt = _pick_qtile(g)
     nqt = g // qt
     # S sequences per grid step: their independent online-softmax chains
-    # interleave (see _prefix_kernel). Decode only (nqt == 1; chunked
-    # prefill's wide q tiles keep the VPU busy by themselves).
+    # interleave (see _prefix_kernel), and the per-grid-step fixed cost
+    # amortizes over S pages' worth of work. Decode only (nqt == 1;
+    # chunked prefill's wide q tiles keep the VPU busy by themselves).
     S = 1
     if nqt == 1:
-        for cand in (4, 2):
-            if b % cand == 0:
+        import os
+        smax = int(os.environ.get("VBPT_ATTN_SEQ_INTERLEAVE", "8"))
+        for cand in (16, 8, 4, 2):
+            if cand <= smax and b % cand == 0:
                 S = cand
                 break
 
