@@ -108,7 +108,10 @@ def main():
                          "is the fastest int8 scheme on the MXU")
     ap.add_argument("--kv-dtype", default="int8",
                     choices=["auto", "int8"],
-                    help="int8 = quantized KV cache (dequant in-kernel)")
+                    help="int8 = quantized KV cache, dequant in-kernel "
+                         "(the default since round 1's int8-KV work; use "
+                         "'auto' for model-dtype bf16 KV when comparing "
+                         "against pre-int8-KV runs)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64,

@@ -85,6 +85,9 @@ class Request:
     # nulls head pages without changing len(block_ids)); the engine must
     # re-upload this row even though the length is unchanged
     bt_dirty: bool = False
+    # sliding-window recycling cursor: block_ids[:num_recycled_blocks] are
+    # already nulled, so each decode schedule scans from here, not 0
+    num_recycled_blocks: int = 0
 
     def __post_init__(self):
         if not self.request_id:

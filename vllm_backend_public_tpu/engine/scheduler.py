@@ -186,11 +186,14 @@ class Scheduler:
         cached = req.num_tokens - 1  # tokens whose KV is materialized
         first = max(0, cached - w + 1) // bs
         freed = []
-        for i in range(min(first, len(req.block_ids))):
+        for i in range(req.num_recycled_blocks,
+                       min(first, len(req.block_ids))):
             b = req.block_ids[i]
             if b != 0:
                 freed.append(b)
                 req.block_ids[i] = 0
+        req.num_recycled_blocks = max(req.num_recycled_blocks,
+                                      min(first, len(req.block_ids)))
         if freed:
             self.allocator.free(freed)
             req.bt_dirty = True
@@ -227,6 +230,8 @@ class Scheduler:
     def _preempt(self, req: Request, out: SchedulerOutput) -> None:
         self.allocator.free([b for b in req.block_ids if b != 0])
         req.block_ids = []
+        req.bt_dirty = False  # no live block table to be dirty about
+        req.num_recycled_blocks = 0
         # recompute-from-scratch restart: generated tokens are folded into
         # the prompt so decode resumes where it left off
         req.prompt_token_ids = req.all_token_ids

@@ -33,6 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Sequence-interleave width for the decode kernel, read ONCE at import
+# (it is baked into the traced program, so changing it later has no
+# effect; reading it here makes that explicit and validates the value).
+# Values above 8 with bf16 KV at block_size 128 put the double-buffered
+# K+V page blocks near the 16MB VMEM scoped limit — prefer int8 KV or
+# block_size 64 before raising this.
+import os as _os
+
+try:
+    _SEQ_INTERLEAVE_MAX = int(_os.environ.get("VBPT_ATTN_SEQ_INTERLEAVE",
+                                              "8"))
+except ValueError:
+    _SEQ_INTERLEAVE_MAX = 8
+
 
 def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
@@ -178,10 +192,8 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     # chunked prefill's wide q tiles keep the VPU busy by themselves).
     S = 1
     if nqt == 1:
-        import os
-        smax = int(os.environ.get("VBPT_ATTN_SEQ_INTERLEAVE", "8"))
         for cand in (16, 8, 4, 2):
-            if cand <= smax and b % cand == 0:
+            if cand <= _SEQ_INTERLEAVE_MAX and b % cand == 0:
                 S = cand
                 break
 

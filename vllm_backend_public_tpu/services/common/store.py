@@ -235,6 +235,69 @@ class InMemoryStore:
                 coll._next_id = len(coll._docs)
 
 
+class MotorCollection:
+    """Adapts a motor collection to the InMemoryCollection call shape.
+
+    The services call `await store[c].find(flt, sort=..., limit=...)` and
+    expect a list; motor's `find()` returns a cursor synchronously with
+    chained `.sort()/.skip()/.limit()` and `await .to_list()`. Everything
+    else (insert/update/delete/count/distinct/create_index) is coroutine-
+    compatible and passes straight through.
+    """
+
+    def __init__(self, coll):
+        self._coll = coll
+
+    async def find(self, flt: Optional[dict] = None, *,
+                   sort: Optional[list] = None, limit: int = 0,
+                   skip: int = 0) -> List[dict]:
+        cur = self._coll.find(flt or {})
+        if sort:
+            cur = cur.sort(sort)
+        if skip:
+            cur = cur.skip(skip)
+        if limit:
+            cur = cur.limit(limit)
+        return await cur.to_list(length=None)
+
+    async def find_one(self, flt: Optional[dict] = None,
+                       sort: Optional[list] = None) -> Optional[dict]:
+        res = await self.find(flt, sort=sort, limit=1)
+        return res[0] if res else None
+
+    def __getattr__(self, name: str):
+        # insert_one, update_one/many, delete_one/many, count_documents,
+        # distinct, create_index: motor's signatures already match
+        return getattr(self._coll, name)
+
+
+class MotorStore:
+    """Database of MotorCollection adapters over one motor database.
+
+    Reads prefer secondaries like the reference
+    (benchmark-deployer/database.py:28 SECONDARY_PREFERRED against the
+    3-replica rs0 set, mongodb/mongo-cluster.yaml)."""
+
+    def __init__(self, client, db_name: str):
+        self._client = client
+        self._db = client[db_name]
+
+    def __getitem__(self, name: str) -> MotorCollection:
+        return MotorCollection(self._db[name])
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self[name]
+
+    async def ping(self) -> bool:
+        try:
+            await self._client.admin.command("ping")
+            return True
+        except Exception:
+            return False
+
+
 def connect_store(mongo_url: Optional[str] = None,
                   db_name: str = "db",
                   snapshot_path: Optional[str] = None):
@@ -243,9 +306,20 @@ def connect_store(mongo_url: Optional[str] = None,
     if mongo_url:
         try:
             import motor.motor_asyncio as motor_asyncio
-
-            client = motor_asyncio.AsyncIOMotorClient(mongo_url)
-            return client[db_name]
         except ImportError:
             pass
+        else:
+            pref = _secondary_preferred()
+            kwargs = {"read_preference": pref} if pref is not None else {}
+            client = motor_asyncio.AsyncIOMotorClient(mongo_url, **kwargs)
+            return MotorStore(client, db_name)
     return InMemoryStore(path=snapshot_path)
+
+
+def _secondary_preferred():
+    try:
+        from pymongo import ReadPreference
+
+        return ReadPreference.SECONDARY_PREFERRED
+    except ImportError:  # fake motor in tests has no pymongo
+        return None
