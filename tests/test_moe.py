@@ -1,0 +1,187 @@
+"""MoE expert-compute tests: quantized experts, grouped dispatch parity.
+
+Round-1 regression (VERDICT): `quantize_params` produced QuantizedWeight
+expert tensors that models/mixtral.py consumed with raw einsums, so any
+quantized Mixtral forward crashed (`--quantization int8` + Mixtral config
+= BASELINE config #5's path; reference passthrough
+benchmark-vllm/vllm_templates.py:75-76). These tests pin the fix.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vllm_backend_public_tpu.loader.hf import parse_hf_config
+from vllm_backend_public_tpu.models import mixtral as mx
+from vllm_backend_public_tpu.models.common import AttnInputs, init_kv_cache
+from vllm_backend_public_tpu.ops import moe
+from vllm_backend_public_tpu.ops.quant import quantize_params
+
+
+def tiny_cfg(e=4, k=2, hidden=128, inter=256):
+    return parse_hf_config({
+        "architectures": ["MixtralForCausalLM"], "vocab_size": 512,
+        "hidden_size": hidden, "intermediate_size": inter,
+        "num_hidden_layers": 2, "num_attention_heads": 8,
+        "num_key_value_heads": 4, "num_local_experts": e,
+        "num_experts_per_tok": k, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5})
+
+
+def layer0(params):
+    return {k: jax.tree.map(lambda x: x[0], v, is_leaf=None)
+            if not hasattr(v, "kind") else v
+            for k, v in params["layers"].items()}
+
+
+def slice_layer(params, i=0):
+    from vllm_backend_public_tpu.ops.linear import QuantizedWeight
+
+    out = {}
+    for k, v in params["layers"].items():
+        if isinstance(v, QuantizedWeight):
+            out[k] = QuantizedWeight(v.kind, v.q[i], v.s[i], v.g)
+        else:
+            out[k] = v[i]
+    return out
+
+
+# ------------------------------------------------------ dispatch mechanics
+
+def test_dispatch_exact_and_tile_aligned():
+    rng = np.random.default_rng(0)
+    n, e, k, tile = 24, 4, 2, 8
+    logits = jnp.asarray(rng.normal(size=(n, e)), jnp.float32)
+    topv, topi = jax.lax.top_k(logits, k)
+    topw = jax.nn.softmax(topv, axis=-1)
+    plan = moe.make_dispatch(topi, topw, e, tile)
+    t_s, dest, te = (np.asarray(plan.t_sorted), np.asarray(plan.dest),
+                     np.asarray(plan.tile_expert))
+    # every assignment lands in a distinct row
+    assert len(set(dest.tolist())) == n * k
+    # each row's tile belongs to the assignment's expert
+    e_sorted = np.sort(np.asarray(topi).reshape(-1))
+    for r in range(n * k):
+        assert te[dest[r] // tile] == e_sorted[r]
+    # group sizes cover the whole buffer for ragged_dot
+    assert int(np.asarray(plan.group_rows).sum()) == plan.m_pad
+
+
+def test_grouped_matches_dense_unquantized():
+    rng = np.random.default_rng(1)
+    cfg = tiny_cfg()
+    params = mx.init_random_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.float32)
+    lyr = slice_layer(params)
+    x = jnp.asarray(rng.normal(size=(2, 5, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+    args = (x, lyr["router"], lyr["we_gate"], lyr["we_up"], lyr["we_down"],
+            cfg.experts_per_token)
+    dense = moe.moe_mlp_dense(*args)
+    grouped = moe.moe_mlp_grouped(*args)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["int8", "fp8", "w8a8", "int4"])
+def test_grouped_matches_dense_quantized(kind):
+    rng = np.random.default_rng(2)
+    cfg = tiny_cfg()
+    params = mx.init_random_params(cfg, jax.random.PRNGKey(1),
+                                   dtype=jnp.float32)
+    qparams = quantize_params(params, kind)
+    lyr = slice_layer(qparams)
+    x = jnp.asarray(rng.normal(size=(1, 7, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+    args = (x, lyr["router"], lyr["we_gate"], lyr["we_up"], lyr["we_down"],
+            cfg.experts_per_token)
+    dense = moe.moe_mlp_dense(*args)
+    grouped = moe.moe_mlp_grouped(*args)
+    assert np.isfinite(np.asarray(dense)).all()
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["int8", "fp8", "w8a8"])
+def test_gmm_pallas_kernel_matches_ragged_dot(kind):
+    """Grouped Pallas kernel (interpret mode) vs the XLA ragged_dot path."""
+    rng = np.random.default_rng(3)
+    e, kdim, n, tile = 4, 128, 128, 8
+    w = quantize_params(
+        {"we_gate": jnp.asarray(rng.normal(size=(e, kdim, n)) * 0.1,
+                                jnp.float32)}, kind)["we_gate"]
+    topi = jnp.asarray(rng.integers(0, e, size=(12, 2)), jnp.int32)
+    topw = jnp.full((12, 2), 0.5, jnp.float32)
+    plan = moe.make_dispatch(topi, topw, e, tile)
+    xg = jnp.zeros((plan.m_pad, kdim), jnp.float32).at[plan.dest].set(
+        jnp.asarray(rng.normal(size=(24, kdim)) * 0.5, jnp.float32))
+    ref = moe.grouped_matmul_xla(xg, w, plan.group_rows)
+    out = moe.grouped_matmul(xg, w, plan.tile_expert, interpret=True)
+    # the XLA fallback dequantizes weights but does NOT quantize
+    # activations, so w8a8 carries extra ~0.8% activation-quant noise
+    tol = 2e-2 if kind == "w8a8" else 3e-3
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=tol, atol=tol)
+
+
+# ------------------------------------------- full quantized model forward
+
+@pytest.mark.parametrize("kind", ["int8", "fp8"])
+def test_quantized_mixtral_forward(kind):
+    """The round-1 crash repro: quantized Mixtral full forward runs and
+    stays close to the fp32 forward."""
+    cfg = tiny_cfg()
+    params = mx.init_random_params(cfg, jax.random.PRNGKey(3),
+                                   dtype=jnp.float32)
+    t = 9
+    bs = 8
+    mb = 2
+    tokens = jnp.asarray(np.arange(t) % 37, jnp.int32)[None, :]
+    attn = AttnInputs(
+        block_tables=jnp.arange(1, mb + 1, dtype=jnp.int32)[None, :],
+        kv_lens=jnp.array([t], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None, :],
+        write_mask=jnp.ones((1, t), bool))
+
+    def fwd(p):
+        cache = init_kv_cache(cfg, mb + 1, bs, dtype=jnp.float32)
+        h, _ = mx.forward_hidden(p, cfg, tokens, attn, cache)
+        return mx.logits_from_hidden(p, h)[0]
+
+    ref = np.asarray(fwd(params))
+    qlogits = np.asarray(fwd(quantize_params(params, kind)))
+    assert np.isfinite(qlogits).all()
+    # quantization noise is real but bounded; argmax agreement is the
+    # production-relevant bar for a tiny random model
+    agree = (ref.argmax(-1) == qlogits.argmax(-1)).mean()
+    assert agree >= 0.75, f"argmax agreement {agree}"
+
+
+def test_quantized_mixtral_dense_vs_grouped_forward():
+    cfg = tiny_cfg()
+    params = quantize_params(
+        mx.init_random_params(cfg, jax.random.PRNGKey(4),
+                              dtype=jnp.float32), "int8")
+    t, bs, mb = 6, 8, 1
+    tokens = jnp.asarray([1, 2, 3, 4, 5, 6], jnp.int32)[None, :]
+    attn = AttnInputs(
+        block_tables=jnp.ones((1, mb), jnp.int32),
+        kv_lens=jnp.array([t], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None, :],
+        write_mask=jnp.ones((1, t), bool))
+
+    def fwd():
+        cache = init_kv_cache(cfg, mb + 1, bs, dtype=jnp.float32)
+        h, _ = mx.forward_hidden(params, cfg, tokens, attn, cache)
+        return np.asarray(mx.logits_from_hidden(params, h)[0])
+
+    mx.set_moe_impl("grouped")
+    grouped = fwd()
+    mx.set_moe_impl("dense")
+    try:
+        dense = fwd()
+    finally:
+        mx.set_moe_impl("grouped")
+    np.testing.assert_allclose(grouped, dense, rtol=1e-4, atol=1e-4)

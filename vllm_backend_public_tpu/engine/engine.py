@@ -98,6 +98,12 @@ class LLMEngine:
             self.attn_impl = "xla"
             from ..ops.linear import set_kernels_enabled
             set_kernels_enabled(False)
+            if model_cfg.arch == "mixtral":
+                # grouped MoE dispatch indexes the global token buffer;
+                # under an expert-sharded mesh the dense path is the EP
+                # layout (local experts + psum from the sharding)
+                from ..models.mixtral import set_moe_impl
+                set_moe_impl("dense")
 
         num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
         if self.mesh is not None:

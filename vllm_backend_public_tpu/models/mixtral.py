@@ -1,27 +1,45 @@
 """Mixtral-family sparse-MoE decoder.
 
 Top-k routed experts (BASELINE.json config #5: Mixtral-8x7B FP8
-expert-parallel). Two expert-compute paths:
+expert-parallel). Two expert-compute paths (ops/moe.py):
 
-- "dense" (default, exact): every expert computed, gated sum. Correct for
-  any shapes, used for tests and as the XLA reference. With the expert
-  axis sharded over the mesh's "expert" axis this is also the simple EP
-  layout: each device computes its local experts for all tokens and the
-  gated sum runs as a psum — XLA inserts the collective from the sharding.
-- grouped/ragged Pallas kernel: future perf path for large E.
+- "grouped" (default, exact): top-k dispatch sorts (token, expert)
+  assignments into tile-aligned groups and a grouped matmul computes only
+  the routed experts — Pallas kernel with fused dequant on TPU,
+  lax.ragged_dot elsewhere. Capacity-free, so bit-identical to dense.
+- "dense": every expert computed, gated sum — the EP layout: with the
+  expert axis sharded over the mesh's "expert" axis each device computes
+  its local experts for all tokens and XLA inserts the psum from the
+  sharding. The engine selects this under a mesh.
 
+Both paths accept QuantizedWeight experts (int8 / fp8 / w8a8 / int4).
 Attention is identical to llama (GQA + RoPE + paged KV).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
 from ..ops.linear import LayerView, matmul
+from ..ops.moe import moe_mlp_dense, moe_mlp_grouped
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
+
+# "grouped" computes only routed experts; "dense" computes all experts
+# (required under an expert-sharded mesh — dispatch indices are global).
+# The engine overrides this via set_moe_impl when it builds a mesh.
+MOE_IMPL = os.environ.get("VBPT_MOE_IMPL", "grouped")
+
+
+def set_moe_impl(impl: str) -> None:
+    global MOE_IMPL
+    if impl not in ("grouped", "dense"):
+        raise ValueError(impl)
+    MOE_IMPL = impl
 
 # Attention projections go zero-copy (LayerView -> stacked Pallas kernels).
 # The expert weights stay scan-sliced: their consumers are XLA einsums,
@@ -31,22 +49,10 @@ _BIG_WEIGHTS = ("wq", "wk", "wv", "wo")
 
 
 def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
-    """x: [B, T, H] -> [B, T, H] via top-k routed experts (dense compute)."""
-    e, k = cfg.num_experts, cfg.experts_per_token
-    router_logits = (x.astype(jnp.float32) @
-                     layer["router"].astype(jnp.float32))  # [B, T, E]
-    topv, topi = jax.lax.top_k(router_logits, k)
-    topw = jax.nn.softmax(topv, axis=-1)  # [B, T, k]
-    gates = jnp.zeros_like(router_logits).at[
-        jnp.arange(x.shape[0])[:, None, None],
-        jnp.arange(x.shape[1])[None, :, None],
-        topi].set(topw)  # [B, T, E]
-
-    ge = jnp.einsum("bth,ehi->btei", x, layer["we_gate"])
-    ue = jnp.einsum("bth,ehi->btei", x, layer["we_up"])
-    he = jax.nn.silu(ge) * ue
-    ye = jnp.einsum("btei,eih->bteh", he, layer["we_down"])
-    return jnp.einsum("bteh,bte->bth", ye, gates.astype(x.dtype))
+    """x: [B, T, H] -> [B, T, H] via top-k routed experts."""
+    fn = moe_mlp_grouped if MOE_IMPL == "grouped" else moe_mlp_dense
+    return fn(x, layer["router"], layer["we_gate"], layer["we_up"],
+              layer["we_down"], cfg.experts_per_token)
 
 
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,

@@ -1,0 +1,321 @@
+"""Mixture-of-Experts compute: quantized expert matmuls + top-k dispatch.
+
+The reference only passes `--quantization` through to vLLM
+(reference: benchmark-vllm/vllm_templates.py:75-76); vLLM's native surface
+is fused-MoE CUDA kernels. The TPU-native equivalents here:
+
+- `expert_einsum`: dense all-experts matmul, QuantizedWeight-aware
+  (int8/fp8 weight-only, w8a8, int4-group). Exact for any shapes; under an
+  "expert"-sharded mesh this is also the simple EP layout (each device
+  computes its local experts, XLA inserts the psum).
+- top-k dispatch + grouped expert matmul: only the routed tokens compute.
+  Tokens' (token, expert) assignments are sorted by expert into
+  tile-aligned groups (static shapes — counts are data-dependent but the
+  padded buffer is not), then a grouped matmul runs each m-tile against
+  exactly one expert's weights:
+    * Pallas kernel (`grouped_matmul`): the expert id of each m-tile comes
+      from a scalar-prefetched tile→expert map, so weight tiles DMA
+      straight from the [E, K, N] (possibly int8/fp8) array — dequant
+      fused into the MXU feed, HBM traffic stays at the quantized width.
+    * XLA fallback (`grouped_matmul_xla`): `lax.ragged_dot` over the same
+      sorted layout (used on CPU and for cross-checking).
+  FLOPs = top_k x tokens x 2HI (+ tile padding) instead of the dense
+  path's num_experts x tokens x 2HI — a ~E/k saving (4x for Mixtral
+  8x7B top-2).
+
+Exactness: dispatch is capacity-free (a group's row budget is its actual
+count rounded up to the tile), so no token is ever dropped and
+grouped == dense bit-for-bit in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .linear import QuantizedWeight, is_quantized, quantize_activations
+from .quant import unpack_int4
+
+
+# --------------------------------------------------------------- dense path
+
+def _dequant_full(w: QuantizedWeight, dtype) -> jax.Array:
+    """Materialize a dequantized copy (XLA fuses the convert where it can;
+    this is the correctness/fallback path, not the bandwidth-optimal one)."""
+    if w.kind in ("int8", "fp8", "w8a8"):
+        # q [.., K, N], s [.., N]
+        return (w.q.astype(jnp.float32) * w.s[..., None, :]).astype(dtype)
+    if w.kind == "int4":
+        q = w.q
+        k_packed = q.shape[-2]
+        ng = w.s.shape[-2]
+        if k_packed * 2 == ng * w.g:  # packed storage
+            q = unpack_int4(q)
+        *lead, k, n = q.shape
+        qd = q.astype(jnp.float32).reshape(*lead, ng, w.g, n)
+        qd = qd * w.s[..., :, None, :]
+        return qd.reshape(*lead, k, n).astype(dtype)
+    raise ValueError(w.kind)
+
+
+def expert_einsum(spec: str, x: jax.Array, w) -> jax.Array:
+    """einsum over stacked expert weights; w dense or QuantizedWeight.
+
+    spec is an einsum like "bth,ehi->btei" (up/gate) or "btei,eih->bteh"
+    (down). Weight-only schemes fuse the dequant into the contraction;
+    w8a8 quantizes activations per row and runs int8 x int8 on the MXU.
+    """
+    if not is_quantized(w):
+        return jnp.einsum(spec, x, w)
+    if w.kind in ("int8", "fp8"):
+        y = jnp.einsum(spec, x, w.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * _out_scale(spec, w.s)).astype(x.dtype)
+    if w.kind == "w8a8":
+        x8, sx = quantize_activations(x)
+        y = jnp.einsum(spec, x8, w.q, preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * _act_scale(spec, sx)
+                * _out_scale(spec, w.s)).astype(x.dtype)
+    if w.kind == "int4":
+        return jnp.einsum(spec, x, _dequant_full(w, x.dtype))
+    raise ValueError(w.kind)
+
+
+def _out_scale(spec: str, s: jax.Array) -> jax.Array:
+    """Broadcast per-out-channel scales to the einsum output layout."""
+    out = spec.split("->")[1]
+    # s covers the expert axis + the last output axis; insert singleton
+    # dims for the remaining output axes (e.g. "btei": s [E, I] -> 1,1,E,I)
+    w_axes = spec.split(",")[1].split("->")[0]
+    s_axes = (w_axes[0], w_axes[-1])  # (expert, out_channel)
+    shape = [s.shape[0] if a == s_axes[0]
+             else (s.shape[1] if a == s_axes[1] else 1) for a in out]
+    return s.reshape(shape)
+
+
+def _act_scale(spec: str, sx: jax.Array) -> jax.Array:
+    """Broadcast per-row activation scales [.., 1] to the output layout."""
+    x_axes = spec.split(",")[0]
+    out = spec.split("->")[1]
+    shape = []
+    for a in out:
+        if a in x_axes[:-1]:
+            shape.append(sx.shape[x_axes.index(a)])
+        else:
+            shape.append(1)
+    return sx.reshape(shape)
+
+
+# ----------------------------------------------------------- top-k dispatch
+
+class DispatchPlan(NamedTuple):
+    """Static-shaped routing plan for one MoE layer invocation.
+
+    t_sorted:    [A] token index of each (token, expert) assignment,
+                 sorted by expert (A = tokens * top_k)
+    w_sorted:    [A] gate weight of each assignment, same order
+    dest:        [A] destination row in the tile-aligned grouped buffer
+    tile_expert: [num_m_tiles] expert id of each m-tile
+    group_rows:  [E] rows (incl. padding) per expert, for ragged_dot
+    m_pad:       static grouped-buffer height
+    """
+
+    t_sorted: jax.Array
+    w_sorted: jax.Array
+    dest: jax.Array
+    tile_expert: jax.Array
+    group_rows: jax.Array
+    m_pad: int
+
+
+def make_dispatch(topi: jax.Array, topw: jax.Array, num_experts: int,
+                  tile: int) -> DispatchPlan:
+    """Sort (token, expert) assignments into tile-aligned expert groups.
+
+    topi/topw: [N, k]. Capacity-free: each expert's group is its actual
+    assignment count rounded up to `tile`, so nothing is dropped. All
+    shapes are static; only values are data-dependent (jit-safe).
+    """
+    n, k = topi.shape
+    a = n * k
+    e_a = topi.reshape(-1)
+    t_a = jnp.arange(a, dtype=jnp.int32) // k
+    w_a = topw.reshape(-1)
+    order = jnp.argsort(e_a, stable=True)
+    e_s = e_a[order]
+    counts = jnp.bincount(e_a, length=num_experts)           # [E]
+    padded = ((counts + tile - 1) // tile) * tile
+    pstart = jnp.cumsum(padded) - padded                      # [E]
+    start = jnp.cumsum(counts) - counts
+    r = jnp.arange(a, dtype=jnp.int32)
+    dest = (pstart[e_s] + (r - start[e_s])).astype(jnp.int32)
+    m_pad = a + num_experts * tile   # >= sum(padded), tile-aligned, static
+    num_tiles = m_pad // tile
+    pend = pstart + padded
+    tile_expert = jnp.searchsorted(
+        pend, jnp.arange(num_tiles, dtype=jnp.int32) * tile, side="right")
+    tile_expert = jnp.minimum(tile_expert, num_experts - 1).astype(jnp.int32)
+    # absorb the trailing unused rows into the last group so ragged_dot's
+    # group sizes sum to m_pad (those rows hold zeros; results unread)
+    group_rows = padded.at[num_experts - 1].add(m_pad - jnp.sum(padded))
+    return DispatchPlan(t_a[order].astype(jnp.int32), w_a[order], dest,
+                        tile_expert, group_rows.astype(jnp.int32), m_pad)
+
+
+def gather_tokens(x_flat: jax.Array, plan: DispatchPlan) -> jax.Array:
+    """[N, H] tokens -> [m_pad, H] grouped rows (padding rows are zero)."""
+    h = x_flat.shape[-1]
+    out = jnp.zeros((plan.m_pad, h), x_flat.dtype)
+    return out.at[plan.dest].set(x_flat[plan.t_sorted])
+
+
+def combine_tokens(y_grouped: jax.Array, plan: DispatchPlan,
+                   num_tokens: int) -> jax.Array:
+    """[m_pad, H] expert outputs -> gate-weighted sum per token [N, H]."""
+    rows = y_grouped[plan.dest] * plan.w_sorted[:, None].astype(
+        y_grouped.dtype)
+    out = jnp.zeros((num_tokens, y_grouped.shape[-1]), y_grouped.dtype)
+    return out.at[plan.t_sorted].add(rows)
+
+
+# ------------------------------------------------------- grouped matmul(s)
+
+def grouped_matmul_xla(xg: jax.Array, w, group_rows: jax.Array) -> jax.Array:
+    """ragged_dot over the sorted layout (CPU / cross-check path)."""
+    wd = w if not is_quantized(w) else _dequant_full(w, xg.dtype)
+    return jax.lax.ragged_dot(xg, wd.astype(xg.dtype), group_rows)
+
+
+def _gmm_kernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, kind: str):
+    x = x_ref[...]
+    if kind == "w8a8":
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        sx = jnp.maximum(amax / 127.0, 1e-8)
+        x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot(x8, w_ref[0],
+                        preferred_element_type=jnp.int32)
+        o_ref[...] = (y.astype(jnp.float32) * sx * s_ref[0]
+                      ).astype(o_ref.dtype)
+        return
+    wt = w_ref[0].astype(jnp.float32)
+    y = jax.lax.dot(x.astype(jnp.float32), wt,
+                    preferred_element_type=jnp.float32)
+    o_ref[...] = (y * s_ref[0]).astype(o_ref.dtype)
+
+
+def _gmm_tile_m(dtype) -> int:
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouped_matmul(xg: jax.Array, w: QuantizedWeight,
+                   tile_expert: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Pallas grouped matmul: row-tile i of xg multiplies expert
+    tile_expert[i]'s [K, N] (quantized) weight; dequant fused in VMEM.
+
+    xg: [M, K] with M % tile_m == 0 and every m-tile belonging to exactly
+    one expert (make_dispatch guarantees this). w.q: [E, K, N] int8/fp8,
+    w.s: [E, N]. Returns [M, N] in xg.dtype.
+    """
+    m, k = xg.shape
+    e, _, n = w.q.shape
+    tm = _gmm_tile_m(xg.dtype)
+    tn = 128 if n % 128 == 0 else n
+    grid = (m // tm, n // tn)
+
+    out = pl.pallas_call(
+        functools.partial(_gmm_kernel, kind=w.kind),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, k), lambda i, j, te: (i, 0)),
+                pl.BlockSpec((1, k, tn), lambda i, j, te: (te[i], 0, j)),
+                pl.BlockSpec((1, tn), lambda i, j, te: (te[i], j)),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, te: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), xg.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(tile_expert, xg, w.q, w.s)
+    return out
+
+
+def _gmm_ok(w, n_tokens_axis_ok: bool = True) -> bool:
+    if not is_quantized(w):
+        return False
+    if w.kind not in ("int8", "fp8", "w8a8"):
+        return False
+    k, n = w.q.shape[-2:]
+    return k % 128 == 0 and n % 128 == 0
+
+
+def grouped_expert_matmul(xg: jax.Array, w, plan: DispatchPlan,
+                          interpret: bool = False) -> jax.Array:
+    """Route to the Pallas grouped kernel when eligible, else ragged_dot."""
+    use_kernel = (_gmm_ok(w)
+                  and (jax.default_backend() == "tpu" or interpret)
+                  and xg.shape[0] % _gmm_tile_m(xg.dtype) == 0)
+    if use_kernel:
+        return grouped_matmul(xg, w, plan.tile_expert, interpret=interpret)
+    return grouped_matmul_xla(xg, w, plan.group_rows)
+
+
+# ------------------------------------------------------------ full MoE MLP
+
+def moe_mlp_grouped(x: jax.Array, router_w, we_gate, we_up, we_down,
+                    top_k: int, interpret: bool = False) -> jax.Array:
+    """Sparse MoE MLP: route -> dispatch -> grouped silu-MLP -> combine.
+
+    x: [B, T, H]. Only the top_k routed experts compute per token.
+    Exact (capacity-free) — matches moe_mlp_dense bit-for-bit in fp32.
+    """
+    b, t, h = x.shape
+    n = b * t
+    xf = x.reshape(n, h)
+    e = (we_gate.q if is_quantized(we_gate) else we_gate).shape[0]
+    logits = xf.astype(jnp.float32) @ router_w.astype(jnp.float32)  # [N, E]
+    topv, topi = jax.lax.top_k(logits, top_k)
+    topw = jax.nn.softmax(topv, axis=-1)
+
+    tile = _gmm_tile_m(x.dtype)
+    plan = make_dispatch(topi, topw, e, tile)
+    xg = gather_tokens(xf, plan)                       # [M, H]
+    g = grouped_expert_matmul(xg, we_gate, plan, interpret)
+    u = grouped_expert_matmul(xg, we_up, plan, interpret)
+    hg = (jax.nn.silu(g.astype(jnp.float32))
+          * u.astype(jnp.float32)).astype(x.dtype)     # [M, I]
+    y = grouped_expert_matmul(hg, we_down, plan, interpret)  # [M, H]
+    return combine_tokens(y, plan, n).reshape(b, t, h).astype(x.dtype)
+
+
+def moe_mlp_dense(x: jax.Array, router_w, we_gate, we_up, we_down,
+                  top_k: int) -> jax.Array:
+    """All-experts compute with gates zeroed for unrouted experts. Exact;
+    shardable over an "expert" mesh axis (GSPMD inserts the psum)."""
+    b, t, h = x.shape
+    e = (we_gate.q if is_quantized(we_gate) else we_gate).shape[0]
+    logits = (x.astype(jnp.float32)
+              @ router_w.astype(jnp.float32))          # [B, T, E]
+    topv, topi = jax.lax.top_k(logits, top_k)
+    topw = jax.nn.softmax(topv, axis=-1)
+    gates = jnp.zeros_like(logits).at[
+        jnp.arange(b)[:, None, None],
+        jnp.arange(t)[None, :, None],
+        topi].set(topw)                                # [B, T, E]
+
+    ge = expert_einsum("bth,ehi->btei", x, we_gate)
+    ue = expert_einsum("bth,ehi->btei", x, we_up)
+    he = (jax.nn.silu(ge.astype(jnp.float32))
+          * ue.astype(jnp.float32)).astype(x.dtype)
+    ye = expert_einsum("btei,eih->bteh", he, we_down)
+    return jnp.einsum("bteh,bte->bth", ye, gates.astype(x.dtype))

@@ -103,13 +103,31 @@ def gpt2_param_specs(cfg: ModelConfig) -> Dict:
     }
 
 
+def _shard_one(x, spec: P, mesh: Mesh):
+    from ..ops.linear import QuantizedWeight
+
+    if isinstance(x, QuantizedWeight):
+        # q shards with the dense spec; per-out-channel scales drop the
+        # input axis (s [.., out]); int4 group scales keep the full rank
+        # (s [.., in/G, out] — the group axis replaces the input axis)
+        s_spec = spec if x.s.ndim == x.q.ndim else P(*spec[:-2], spec[-1])
+        return QuantizedWeight(
+            x.kind,
+            jax.device_put(x.q, NamedSharding(mesh, spec)),
+            jax.device_put(x.s, NamedSharding(mesh, s_spec)), x.g)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def shard_params(params, mesh: Mesh, cfg: ModelConfig,
                  pipelined: bool = False):
-    """Place a param pytree onto the mesh with the family's specs."""
+    """Place a (possibly quantized) param pytree onto the mesh with the
+    family's specs."""
+    from ..ops.linear import QuantizedWeight
+
     specs = param_specs(cfg, pipelined=pipelined)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs, is_leaf=lambda x: isinstance(x, P))
+        lambda x, s: _shard_one(x, s, mesh), params, specs,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight))
 
 
 def decode_in_specs():
