@@ -307,3 +307,64 @@ def test_sampler_exact_beyond_candidate_window():
         if r >= 64:
             seen_past_64 = True
     assert seen_past_64
+
+
+def test_mixed_prefill_decode_interleave():
+    """A long prompt's chunks must not starve running decodes: at most
+    max_consecutive_prefills prefill steps run back-to-back while
+    sequences are decoding (scheduler-level mixed batching)."""
+    from vllm_backend_public_tpu.engine.block_allocator import make_allocator
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.request import Request, SamplingParams
+    from vllm_backend_public_tpu.engine.scheduler import Scheduler
+
+    cfg = EngineConfig(model="t", block_size=8, max_num_seqs=4,
+                       max_model_len=512, max_num_batched_tokens=32,
+                       num_kv_blocks=200, enable_prefix_caching=False,
+                       max_consecutive_prefills=2)
+    sched = Scheduler(cfg, make_allocator(200, 8, prefer_native=False))
+
+    r1 = Request(list(range(8)), SamplingParams(max_tokens=100))
+    sched.add(r1)
+    p = sched.schedule()
+    assert p.prefill is not None
+    sched.on_prefill_progress(r1, p.prefill.length)
+    assert r1 in sched.running
+
+    # 256-token prompt = 8 chunks of 32
+    r2 = Request(list(range(256)), SamplingParams())
+    sched.add(r2)
+    kinds = []
+    for _ in range(16):
+        p = sched.schedule()
+        if p.prefill is not None:
+            kinds.append("p")
+            sched.on_prefill_progress(p.prefill.request, p.prefill.length)
+        elif p.decode is not None:
+            kinds.append("d")
+            for r in p.decode.requests:
+                r.output_token_ids.append(0)
+        if r2.prefill_done and "d" in kinds:
+            break
+    joined = "".join(kinds)
+    assert "d" in joined[:3], f"decode starved: {joined}"
+    assert "ppp" not in joined, f"prefill run too long: {joined}"
+    # legacy mode: 0 disables the cap entirely
+    cfg2 = EngineConfig(model="t", block_size=8, max_num_seqs=4,
+                        max_model_len=512, max_num_batched_tokens=32,
+                        num_kv_blocks=200, enable_prefix_caching=False,
+                        max_consecutive_prefills=0)
+    sched2 = Scheduler(cfg2, make_allocator(200, 8, prefer_native=False))
+    ra = Request(list(range(8)), SamplingParams(max_tokens=100))
+    sched2.add(ra)
+    p = sched2.schedule()
+    sched2.on_prefill_progress(ra, p.prefill.length)
+    rb = Request(list(range(256)), SamplingParams())
+    sched2.add(rb)
+    kinds2 = []
+    while not rb.prefill_done:
+        p = sched2.schedule()
+        assert p.prefill is not None, "legacy mode must be prefill-first"
+        kinds2.append("p")
+        sched2.on_prefill_progress(p.prefill.request, p.prefill.length)
+    assert len(kinds2) == 8

@@ -73,6 +73,52 @@ def test_engine_tensor_parallel_matches_single(eight_cpu_devices):
     assert tp_dp == ref
 
 
+def test_engine_tp_kernel_path_matches_single(eight_cpu_devices):
+    """TP engine on the PALLAS kernel path (interpret mode) == unsharded
+    XLA engine. Pins the shard_map self-wrap of paged_prefix_attention:
+    under a ('data','model') mesh each shard runs the kernel on its kv
+    heads — round 1 silently reverted to XLA attention under any mesh."""
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+    from vllm_backend_public_tpu.loader.hf import parse_hf_config
+    from vllm_backend_public_tpu.models.llama import init_random_params
+    from vllm_backend_public_tpu.ops import attention as attn_ops
+
+    # head_dim 128 (the kernel's lane-width requirement)
+    cfg = parse_hf_config({
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 512,
+        "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 2, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "head_dim": 128,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5})
+    params = init_random_params(cfg, jax.random.PRNGKey(7),
+                                dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 512, size=n).tolist() for n in (5, 9)]
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="t", dtype="float32", block_size=8, max_num_seqs=2,
+                  max_model_len=64, num_kv_blocks=32,
+                  enable_prefix_caching=False)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    ref = run(attn_impl="xla")
+    attn_ops.set_interpret(True)
+    try:
+        tp = run(attn_impl="pallas", tensor_parallel_size=2)
+        # multi-step decode exercises the pending-lookahead merge too
+        tp_ms = run(attn_impl="pallas", tensor_parallel_size=2,
+                    decode_steps_per_call=2)
+    finally:
+        attn_ops.set_interpret(False)
+    assert tp == ref
+    assert tp_ms == ref
+
+
 def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
     """Full engine with pipeline_parallel_size=2 (x TP=2) produces the
     same greedy outputs as the unsharded engine — stages split the layer

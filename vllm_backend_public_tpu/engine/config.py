@@ -50,6 +50,13 @@ class EngineConfig:
     # decode steps fused per device dispatch (multi-step decode): higher
     # amortizes host<->device latency; tokens stream in K-sized chunks.
     decode_steps_per_call: int = 1
+    # mixed continuous batching: at most this many consecutive prefill
+    # chunks while sequences are decoding, so a long prompt's chunks
+    # can't starve running decodes (bounds ITL p99 by ~N chunk times;
+    # the reference's engine contract is vLLM's --max-num-seqs
+    # continuous batching, reference models.py:9). 0 = legacy
+    # prefill-first behavior.
+    max_consecutive_prefills: int = 2
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
 

@@ -69,6 +69,14 @@ class LLMEngine:
         pp = econfig.pipeline_parallel_size
         world = (econfig.tensor_parallel_size * econfig.data_parallel_size
                  * econfig.expert_parallel_size * pp)
+        if world == 1:
+            # clear ambient state a previous (mesh) engine in this
+            # process may have left behind (tests build engines serially)
+            from ..parallel.mesh import set_active_mesh
+            set_active_mesh(None)
+            if model_cfg.arch == "mixtral":
+                from ..models import mixtral
+                mixtral.set_moe_impl(mixtral.MOE_IMPL_DEFAULT)
         if world > 1:
             from ..parallel.mesh import make_mesh
             from ..parallel.sharding import shard_params
@@ -92,12 +100,21 @@ class LLMEngine:
                     f"{econfig.tensor_parallel_size}")
             self.params = shard_params(self.params, self.mesh, model_cfg,
                                        pipelined=pp > 1)
-            # Pallas kernels are single-device programs; under GSPMD use
-            # the XLA attention + matmul paths and let the partitioner
-            # slice them
-            self.attn_impl = "xla"
+            # 8-bit matmuls: XLA's fused convert+dot partitions under
+            # GSPMD and measured faster than the Pallas kernels anyway
+            # (ops/linear.py MATMUL_IMPL); Pallas attention stays ON for
+            # TP/EP meshes via a shard_map self-wrap (each shard runs the
+            # kernel on its kv heads — ops/attention.py). With in-program
+            # DP or PP the pool/block-table locality assumption breaks,
+            # so those fall back to XLA gather attention.
             from ..ops.linear import set_kernels_enabled
+            from ..parallel.mesh import set_active_mesh
             set_kernels_enabled(False)
+            if econfig.data_parallel_size == 1 and pp == 1:
+                set_active_mesh(self.mesh)
+            else:
+                set_active_mesh(None)
+                self.attn_impl = "xla"
             if model_cfg.arch == "mixtral":
                 # grouped MoE dispatch indexes the global token buffer;
                 # under an expert-sharded mesh the dense path is the EP

@@ -62,6 +62,7 @@ class Scheduler:
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self._free_slots = list(range(cfg.max_num_seqs - 1, -1, -1))
+        self._consec_prefills = 0
 
     # ---- queue management -------------------------------------------------
 
@@ -99,12 +100,20 @@ class Scheduler:
     def schedule(self) -> SchedulerOutput:
         out = SchedulerOutput()
 
-        # 1. try to admit/advance a prefill while decode slots are free
-        if self.waiting and len(self.running) < self.cfg.max_num_seqs:
+        # 1. try to admit/advance a prefill while decode slots are free —
+        # but never more than max_consecutive_prefills in a row while
+        # sequences are decoding (mixed batching: a long prompt's chunks
+        # must not stall every running decode)
+        limit = self.cfg.max_consecutive_prefills
+        prefill_ok = not (self.running and limit
+                          and self._consec_prefills >= limit)
+        if (prefill_ok and self.waiting
+                and len(self.running) < self.cfg.max_num_seqs):
             req = self.waiting[0]
             plan = self._plan_prefill_chunk(req, out)
             if plan is not None:
                 out.prefill = plan
+                self._consec_prefills += 1
                 return out
 
         # 2. otherwise decode the running batch
@@ -112,6 +121,7 @@ class Scheduler:
             self._ensure_decode_blocks(out)
             if self.running:
                 out.decode = DecodePlan(requests=list(self.running))
+                self._consec_prefills = 0
         return out
 
     def _bucket_for(self, n: int) -> int:

@@ -268,8 +268,11 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     vs = kv[3] if len(kv) == 4 else None
     window = cfg.sliding_window
 
+    from ..ops import attention as attn_ops
+
+    interp = attn_ops.INTERPRET
     use_kernel = (attn_impl == "pallas" and d % 128 == 0
-                  and jax.default_backend() == "tpu")
+                  and (jax.default_backend() == "tpu" or interp))
 
     if defer_write and t == 1:
         from ..ops.attention import (decode_attention_deferred,
@@ -284,8 +287,9 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         if use_kernel:
             out = decode_attention_deferred(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks, v_scale=vs, window=window,
-                layer=layer_idx, pending=pending)
+                prefix_lens, scale, interpret=interp, k_scale=ks,
+                v_scale=vs, window=window, layer=layer_idx,
+                pending=pending)
         elif layer_idx is not None:
             kv_l = tuple(jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
                                                       keepdims=False)
@@ -315,8 +319,8 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         prefix_lens = attn.positions[:, 0]  # chunk starts here
         out = chunk_prefill_attention_deferred(
             q, k, v, kv[0], kv[1], attn.block_tables, prefix_lens,
-            attn.write_mask, scale, use_kernel=use_kernel, window=window,
-            layer=layer_idx)
+            attn.write_mask, scale, interpret=interp,
+            use_kernel=use_kernel, window=window, layer=layer_idx)
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
             out = out + layer["bo"]

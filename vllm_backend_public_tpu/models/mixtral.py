@@ -32,7 +32,8 @@ from .common import (AttnInputs, KVCache, attention_block, rms_norm,
 # "grouped" computes only routed experts; "dense" computes all experts
 # (required under an expert-sharded mesh — dispatch indices are global).
 # The engine overrides this via set_moe_impl when it builds a mesh.
-MOE_IMPL = os.environ.get("VBPT_MOE_IMPL", "grouped")
+MOE_IMPL_DEFAULT = os.environ.get("VBPT_MOE_IMPL", "grouped")
+MOE_IMPL = MOE_IMPL_DEFAULT
 
 
 def set_moe_impl(impl: str) -> None:

@@ -47,6 +47,16 @@ try:
 except ValueError:
     _SEQ_INTERLEAVE_MAX = 8
 
+# Run the Pallas kernels in interpreter mode (pure-JAX emulation) so the
+# kernel code paths — including the shard_map TP wrapping — are testable
+# on the CPU mesh. Read at trace time via the module attribute.
+INTERPRET = _os.environ.get("VBPT_ATTN_INTERPRET", "") == "1"
+
+
+def set_interpret(flag: bool) -> None:
+    global INTERPRET
+    INTERPRET = bool(flag)
+
 
 def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
@@ -150,12 +160,89 @@ def _pick_qtile(rows: int) -> int:
     return rows
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
                            window=None, k_scale=None, v_scale=None,
                            layer=None):
-    """Unnormalized flash attention over cached prefix pages.
+    """Unnormalized flash attention over cached prefix pages (mesh-aware).
+
+    Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
+    wraps itself in a jax.shard_map: q rows and KV pages both shard over
+    "model" on the kv-head axis, so each TP shard runs the SAME Pallas
+    program on its heads — no collectives inside attention (heads are
+    independent); the surrounding projections' all-reduces stay XLA's
+    business. This is what keeps multi-chip serving on the kernel fast
+    path instead of silently reverting to XLA gather attention.
+    See _paged_prefix_attention for the kernel contract.
+    """
+    from ..parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None:
+        return _paged_prefix_attention_sharded(
+            q, k_pages, v_pages, block_tables, prefix_lens, scale, mesh,
+            interpret=interpret, window=window, k_scale=k_scale,
+            v_scale=v_scale, layer=layer)
+    return _paged_prefix_attention(
+        q, k_pages, v_pages, block_tables, prefix_lens, scale,
+        interpret=interpret, window=window, k_scale=k_scale,
+        v_scale=v_scale, layer=layer)
+
+
+def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
+                                    prefix_lens, scale: float, mesh,
+                                    interpret: bool = False, window=None,
+                                    k_scale=None, v_scale=None, layer=None):
+    """shard_map TP/EP wrapping of the local kernel.
+
+    Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
+    splits them into contiguous whole-head groups matching the page
+    pool's kv-head sharding (parallel/sharding.py:kv_cache_spec). The
+    "data" axis must be size 1 (the engine enforces dp-as-replicas when
+    kernels are on): block ids index the whole pool. "expert"/"pipe"
+    stay replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    stacked = layer is not None
+    qs = P("data", "model", None)
+    pg = (P(None, None, "model", None, None) if stacked
+          else P(None, "model", None, None))
+    ps = (P(None, None, "model", None) if stacked
+          else P(None, "model", None))
+    quant = k_scale is not None
+
+    args = [q, k_pages, v_pages, block_tables, prefix_lens]
+    specs = [qs, pg, pg, P("data", None), P("data")]
+    if quant:
+        args += [k_scale, v_scale]
+        specs += [ps, ps]
+    if stacked:
+        args.append(jnp.asarray(layer, jnp.int32))
+        specs.append(P())
+
+    def inner(*a):
+        q_, kp, vp, bt, ln = a[:5]
+        ks = vs = None
+        i = 5
+        if quant:
+            ks, vs = a[5], a[6]
+            i = 7
+        ly = a[i] if stacked else None
+        return _paged_prefix_attention(
+            q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
+            k_scale=ks, v_scale=vs, layer=ly)
+
+    return jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
+                         out_specs=(qs, qs, qs), check_vma=False)(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
+                            scale: float, interpret: bool = False,
+                            window=None, k_scale=None, v_scale=None,
+                            layer=None):
+    """Single-device kernel invocation.
 
     q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
     chunked prefill (every row attends the whole prefix — valid because

@@ -27,6 +27,22 @@ from jax.sharding import Mesh
 
 AXES = ("pipe", "data", "expert", "model")
 
+# Ambient mesh for kernel-level shard_map wrapping. Pallas kernels are
+# single-device programs; under GSPMD the paged-attention kernel wraps
+# itself in a shard_map over this mesh (read at trace time) so multi-chip
+# serving keeps the kernel fast path instead of falling back to XLA
+# gather attention (ops/attention.py:paged_prefix_attention).
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def make_mesh(tensor_parallel: int = 1, data_parallel: int = 1,
               expert_parallel: int = 1, pipeline_parallel: int = 1,
