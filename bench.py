@@ -145,7 +145,10 @@ def main():
         max_model_len=args.max_model_len,
         max_num_batched_tokens=args.prompt_len,
         num_kv_blocks=B * mb + 1,
-        decode_steps_per_call=args.multi_step)
+        decode_steps_per_call=args.multi_step,
+        # throughput bench: drain all prefills first so the timed loop is
+        # pure steady-state decode (0 = no prefill/decode interleaving)
+        max_consecutive_prefills=0)
     engine = LLMEngine(econ, model_cfg=cfg, params=params)
 
     rng = np.random.default_rng(0)

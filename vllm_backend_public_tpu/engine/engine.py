@@ -131,11 +131,10 @@ class LLMEngine:
             model_cfg, num_blocks, econfig.block_size,
             dtype=econfig.kv_jnp_dtype())
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            from ..parallel.sharding import kv_cache_spec
-            spec5 = kv_cache_spec(pipelined=pp > 1)
-            sh5 = NamedSharding(self.mesh, spec5)
-            sh4 = NamedSharding(self.mesh, PartitionSpec(*spec5[:-1]))
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import kv_cache_spec, kv_scale_spec
+            sh5 = NamedSharding(self.mesh, kv_cache_spec(pipelined=pp > 1))
+            sh4 = NamedSharding(self.mesh, kv_scale_spec(pipelined=pp > 1))
             self.cache = KVCache(
                 k=jax.device_put(self.cache.k, sh5),
                 v=jax.device_put(self.cache.v, sh5),
@@ -143,6 +142,23 @@ class LLMEngine:
                          else jax.device_put(self.cache.k_scale, sh4)),
                 v_scale=(None if self.cache.v_scale is None
                          else jax.device_put(self.cache.v_scale, sh4)))
+        # KV deferred-scatter form: the fast "slab" scatter makes XLA
+        # allocate a pool-array-sized HBM temp; fall back to the strictly
+        # in-place "point" form when that temp doesn't fit next to the
+        # params + pool (models/common.py:write_kv_all_layers)
+        from ..models.common import set_kv_write_mode
+        pool_bytes = sum(
+            x.size * x.dtype.itemsize
+            for x in (self.cache.k, self.cache.v, self.cache.k_scale,
+                      self.cache.v_scale) if x is not None)
+        temp_bytes = self.cache.k.size * self.cache.k.dtype.itemsize
+        param_bytes = sum(x.size * x.dtype.itemsize
+                          for x in jax.tree.leaves(self.params))
+        capacity = self._hbm_capacity()
+        headroom = capacity - param_bytes - pool_bytes
+        set_kv_write_mode(
+            "slab" if headroom > temp_bytes + (1 << 29) else "point")
+
         from .block_allocator import make_allocator
         self.allocator = make_allocator(
             num_blocks, econfig.block_size,
@@ -190,6 +206,15 @@ class LLMEngine:
 
     # ------------------------------------------------------------------ setup
 
+    def _hbm_capacity(self) -> int:
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return stats["bytes_limit"]
+        except Exception:
+            # v5e exposes 15.75 GiB usable of its 16 GiB HBM (and this
+            # backend's memory_stats() returns None)
+            return int(15.75 * 1024**3)
+
     def _auto_num_blocks(self) -> int:
         """Size the KV pool from device memory, like gpu_memory_utilization
         (reference: benchmark-vllm/models.py:8)."""
@@ -198,20 +223,11 @@ class LLMEngine:
                          * jnp.dtype(e.kv_jnp_dtype()).itemsize)
         param_bytes = sum(x.size * x.dtype.itemsize
                           for x in jax.tree.leaves(self.params))
-        try:
-            stats = jax.local_devices()[0].memory_stats()
-            total = stats["bytes_limit"]
-        except Exception:
-            total = 16 * 1024**3  # v5e HBM
-        budget = int(total * e.hbm_utilization) - param_bytes
+        budget = int(self._hbm_capacity() * e.hbm_utilization) - param_bytes
         # floor: enough for one full-length sequence per slot if possible
         num = max(budget // (bytes_per_tok * e.block_size), 0)
         need_min = e.max_num_seqs * 2 + 2
         num = max(min(num, e.max_num_seqs * e.max_blocks_per_seq + 1), need_min)
-        # observed: the TPU compile service falls over on whole-model
-        # programs whose page pool exceeds ~2048 blocks (isolated
-        # gather/scatter at that size compile fine) — cap until resolved
-        num = min(num, 2048)
         return int(num)
 
     def _build_device_fns(self):
@@ -355,9 +371,27 @@ class LLMEngine:
             return (toks_buf, cache, counts, kv_lens, steps,
                     (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 
+        # Pin the cache's boundary layout to row-major default on every
+        # program that returns it. XLA's auto-layout otherwise picks a
+        # different layout for the donated cache output than the input
+        # arrived with, which (a) silently breaks donation — a full
+        # pool-sized temp copy per call, enough to OOM an auto-sized pool
+        # next to 8B params — and (b) inserts pool-sized relayout copies
+        # between the prefill and decode programs (measured 18 ms/call at
+        # a 4096-block pool).
+        from jax.experimental.layout import Format, Layout
+
+        def _dfmt(x):
+            if x is None:
+                return None
+            return Format(Layout(tuple(range(x.ndim))), x.sharding)
+
+        cache_fmt = KVCache(*[_dfmt(a) for a in self.cache])
+
         self._decode_fn = jax.jit(
             decode_multi, donate_argnums=(1, 2),
-            static_argnames=("greedy_only", "k_steps", "want_logprobs"))
+            static_argnames=("greedy_only", "k_steps", "want_logprobs"),
+            out_shardings=(None, cache_fmt, None, None, None, None))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
                          kv_len, write_mask, last_idx):
@@ -370,7 +404,8 @@ class LLMEngine:
                                                   keepdims=False)
             return logits_fn(params, last_h), cache
 
-        self._prefill_fn = jax.jit(prefill_step, donate_argnums=(1,))
+        self._prefill_fn = jax.jit(prefill_step, donate_argnums=(1,),
+                                   out_shardings=(None, cache_fmt))
 
         def first_token(counts, logits, slot, samp_row):
             counts = counts.at[slot].set(0)

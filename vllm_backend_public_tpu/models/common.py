@@ -34,9 +34,16 @@ class KVCache(NamedTuple):
 
     k, v: [num_layers, num_blocks, num_kv_heads, block_size, head_dim]
 
-    One page = [num_kv_heads, block_size, head_dim] is contiguous in HBM so
-    the Pallas decode kernel fetches a sequence's page (all kv heads) in a
-    single DMA; trailing dims (block_size, head_dim) satisfy TPU tiling.
+    One page = [num_kv_heads, block_size, head_dim] is contiguous in HBM
+    so the Pallas decode kernel fetches a sequence's page (all kv heads)
+    in a single DMA; trailing dims (block_size, head_dim) satisfy TPU
+    tiling, and Mosaic's batched dot wants the head (batch) axis leading.
+    The deferred scatter must write per-(token, head, layer) POINTS with
+    a [head_dim]-only update window (write_kv_all_layers) — slab-style
+    scatters with strided windows make XLA's auto-layout relayout the
+    ENTIRE pool around every scatter (a pool-sized temp: +3.2 GB and
+    ~12 ms/step at an 8B auto-sized pool; the point form measures zero
+    temp bytes).
     """
 
     k: jax.Array
@@ -161,15 +168,32 @@ def write_kv_layer(kv: tuple, k_new: jax.Array, v_new: jax.Array,
 
 
 def gather_pages(pages: jax.Array, block_tables: jax.Array,
-                 scales: Optional[jax.Array] = None) -> jax.Array:
-    """[NB, NKV, BS, D] pages -> dequantized [B, NKV, CTX, D]."""
+                 scales: Optional[jax.Array] = None,
+                 layer=None) -> jax.Array:
+    """[NB, NKV, BS, D] pages -> dequantized [B, NKV, CTX, D].
+
+    layer: traced scalar selecting a layer of STACKED [L, NB, ...] pages.
+    The layer axis folds into the gather indices (layer * NB + block) —
+    a `pages[layer]` dynamic-slice would materialize the whole layer's
+    pool slice per scan step, which scales with POOL SIZE, not with the
+    tokens actually read (measured ~29 ms/step of pure copies at a
+    4096-block pool on the XLA decode path)."""
     b, mb = block_tables.shape
-    nb, nkv, bs, d = pages.shape
-    out = pages[block_tables].transpose(0, 2, 1, 3, 4)
-    out = out.reshape(b, nkv, mb * bs, d)
+    if layer is not None:
+        L, nb, nkv, bs, d = pages.shape
+        bt = layer * nb + block_tables
+        out = pages.reshape(L * nb, nkv, bs, d)[bt]    # [B, MB, NKV, BS, D]
+        if scales is not None:
+            scales = scales.reshape(L * nb, *scales.shape[2:])
+            s = scales[bt]                             # [B, MB, NKV, BS]
+    else:
+        nb, nkv, bs, d = pages.shape
+        out = pages[block_tables]
+        if scales is not None:
+            s = scales[block_tables]
+    out = out.transpose(0, 2, 1, 3, 4).reshape(b, nkv, mb * bs, d)
     if scales is not None:
-        s = scales[block_tables].transpose(0, 2, 1, 3).reshape(b, nkv,
-                                                               mb * bs)
+        s = s.transpose(0, 2, 1, 3).reshape(b, nkv, mb * bs)
         out = out.astype(jnp.float32) * s[..., None]
     return out
 
@@ -213,6 +237,19 @@ def paged_attention_xla(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
                       probs, 0.0)
     out = jnp.einsum("bkgtc,bkcd->btkgd", probs, v.astype(jnp.float32))
     return out.reshape(b, t, nh, d).astype(q.dtype)
+
+
+# KV deferred-scatter form: "slab" (fast; needs a pool-array-sized HBM
+# temp) or "point" (strictly in place; ~1.6 ms/call slower at B=64 K=32).
+# The engine picks per-config from its memory budget (write_kv_all_layers).
+KV_WRITE_MODE = "slab"
+
+
+def set_kv_write_mode(mode: str) -> None:
+    global KV_WRITE_MODE
+    if mode not in ("slab", "point"):
+        raise ValueError(mode)
+    KV_WRITE_MODE = mode
 
 
 class AttnInputs(NamedTuple):
@@ -291,15 +328,12 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
                 v_scale=vs, window=window, layer=layer_idx,
                 pending=pending)
         elif layer_idx is not None:
-            kv_l = tuple(jax.lax.dynamic_index_in_dim(a, layer_idx, 0,
-                                                      keepdims=False)
-                         for a in kv)
-            ks_l = kv_l[2] if len(kv_l) == 4 else None
-            vs_l = kv_l[3] if len(kv_l) == 4 else None
+            # stacked pools: the layer index folds into the page gather
+            # (slicing the pool per layer would copy pool-sized data)
             out = decode_attention_deferred_xla(
-                q1, k1, v1, kv_l[0], kv_l[1], attn.block_tables,
-                prefix_lens, scale, k_scale=ks_l, v_scale=vs_l,
-                window=window, pending=pending)
+                q1, k1, v1, kv[0], kv[1], attn.block_tables,
+                prefix_lens, scale, k_scale=ks, v_scale=vs,
+                window=window, pending=pending, layer=layer_idx)
         else:
             out = decode_attention_deferred_xla(
                 q1, k1, v1, kv[0], kv[1], attn.block_tables,
@@ -311,16 +345,18 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
             out = out + layer["bo"]
         return out, kv, k1, v1
 
-    if defer_write and t > 1 and ks is None:
+    if defer_write and t > 1:
         # chunked prefill: streamed prefix pages + in-chunk causal, cache
-        # write deferred to one post-scan scatter (no page gather at all)
+        # write deferred to one post-scan scatter (no page gather at all;
+        # int8 KV pages dequantize in-kernel / in-gather)
         from ..ops.attention import chunk_prefill_attention_deferred
 
         prefix_lens = attn.positions[:, 0]  # chunk starts here
         out = chunk_prefill_attention_deferred(
             q, k, v, kv[0], kv[1], attn.block_tables, prefix_lens,
             attn.write_mask, scale, interpret=interp,
-            use_kernel=use_kernel, window=window, layer=layer_idx)
+            use_kernel=use_kernel, window=window, layer=layer_idx,
+            k_scale=ks, v_scale=vs)
         out = matmul(out.reshape(b, t, nh * d), layer["wo"])
         if "bo" in layer:
             out = out + layer["bo"]
@@ -350,6 +386,18 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
     k_news/v_news: [L, B, NKV, D] (decode) or [L, B, T, NKV, D] (chunked
     prefill); writes token positions attn.positions [B, T] through
     attn.block_tables into a (donated) cache in place.
+
+    Two scatter forms, chosen by KV_WRITE_MODE (set by the engine from
+    its memory budget):
+
+    - "slab" (default, fastest): `.at[:, blk, :, off]` with (L, NKV, D)
+      update windows. XLA's auto-layout relayouts the pool around this
+      scatter, which costs a POOL-ARRAY-SIZED TEMP buffer — fine when
+      HBM has that much headroom, fatal for an auto-sized pool next to
+      8B params (the temp breaks donation and OOMs).
+    - "point": every (token, layer, head) gets an explicit index with a
+      [head_dim]-only window — zero temp bytes (the pool is updated
+      strictly in place), measured ~1.6 ms/call slower at B=64 x K=32.
     """
     if k_news.ndim == 4:
         k_news = k_news[:, :, None]
@@ -357,26 +405,53 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
     L, b, t, nkv, d = k_news.shape
     nb = cache.num_blocks
     bs = cache.block_size
+    r = b * t
     slots = slot_ids_from_positions(attn.block_tables, attn.positions, bs)
     blk = slots // bs
     off = slots % bs
     blk = jnp.where(attn.write_mask, blk, nb)  # oob -> dropped
-    blk = blk.reshape(-1)
-    off = off.reshape(-1)
-    # updates for advanced dims (1: blk, 3: off) with slices (0: L, 2: NKV)
-    # -> shape [B*T, L, NKV, D]
-    kn = k_news.transpose(1, 2, 0, 3, 4).reshape(b * t, L, nkv, d)
-    vn = v_news.transpose(1, 2, 0, 3, 4).reshape(b * t, L, nkv, d)
+    if KV_WRITE_MODE == "slab":
+        blkf = blk.reshape(-1)
+        offf = off.reshape(-1)
+        kn_ = k_news.transpose(1, 2, 0, 3, 4).reshape(r, L, nkv, d)
+        vn_ = v_news.transpose(1, 2, 0, 3, 4).reshape(r, L, nkv, d)
+        if cache.quantized:
+            kq, ksc = quantize_kv(kn_)
+            vq, vsc = quantize_kv(vn_)
+            return KVCache(
+                k=cache.k.at[:, blkf, :, offf].set(kq, mode="drop"),
+                v=cache.v.at[:, blkf, :, offf].set(vq, mode="drop"),
+                k_scale=cache.k_scale.at[:, blkf, :, offf].set(
+                    ksc, mode="drop"),
+                v_scale=cache.v_scale.at[:, blkf, :, offf].set(
+                    vsc, mode="drop"))
+        return KVCache(
+            k=cache.k.at[:, blkf, :, offf].set(
+                kn_.astype(cache.k.dtype), mode="drop"),
+            v=cache.v.at[:, blkf, :, offf].set(
+                vn_.astype(cache.v.dtype), mode="drop"))
+    # point index arrays broadcasting to [R, L, NKV] — same update layout
+    # as the (relayout-prone) slab form, so the lookahead-buffer transpose
+    # stays a cheap leading-dim swap
+    blk3 = blk.reshape(r, 1, 1)
+    off3 = off.reshape(r, 1, 1)
+    l3 = jnp.arange(L, dtype=jnp.int32).reshape(1, L, 1)
+    h3 = jnp.arange(nkv, dtype=jnp.int32).reshape(1, 1, nkv)
+    # updates [R, L, NKV, D]
+    kn = k_news.reshape(L, r, nkv, d).transpose(1, 0, 2, 3)
+    vn = v_news.reshape(L, r, nkv, d).transpose(1, 0, 2, 3)
     if cache.quantized:
         kq, ksc = quantize_kv(kn)
         vq, vsc = quantize_kv(vn)
         return KVCache(
-            k=cache.k.at[:, blk, :, off].set(kq, mode="drop"),
-            v=cache.v.at[:, blk, :, off].set(vq, mode="drop"),
-            k_scale=cache.k_scale.at[:, blk, :, off].set(ksc, mode="drop"),
-            v_scale=cache.v_scale.at[:, blk, :, off].set(vsc, mode="drop"))
-    new_k = cache.k.at[:, blk, :, off].set(kn.astype(cache.k.dtype),
-                                           mode="drop")
-    new_v = cache.v.at[:, blk, :, off].set(vn.astype(cache.v.dtype),
-                                           mode="drop")
+            k=cache.k.at[l3, blk3, h3, off3].set(kq, mode="drop"),
+            v=cache.v.at[l3, blk3, h3, off3].set(vq, mode="drop"),
+            k_scale=cache.k_scale.at[l3, blk3, h3, off3].set(
+                ksc, mode="drop"),
+            v_scale=cache.v_scale.at[l3, blk3, h3, off3].set(
+                vsc, mode="drop"))
+    new_k = cache.k.at[l3, blk3, h3, off3].set(kn.astype(cache.k.dtype),
+                                               mode="drop")
+    new_v = cache.v.at[l3, blk3, h3, off3].set(vn.astype(cache.v.dtype),
+                                               mode="drop")
     return KVCache(k=new_k, v=new_v)

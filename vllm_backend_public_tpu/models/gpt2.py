@@ -76,10 +76,10 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
                    attn_impl: str = "xla", kv_pending=None,
                    defer_out: bool = False):
     x = params["embed"][tokens] + params["pos_embed"][attn.positions]
-    # deferred single-scatter writes for decode always, and for
-    # prefill when the cache is unquantized (int8-KV prefill keeps
-    # the per-layer quantize+write path)
-    defer = tokens.shape[1] == 1 or not cache.quantized
+    # all paths defer: one post-scan scatter (int8 KV quantizes at
+    # the scatter; a scan-carried quantized pool would double-buffer
+    # a pool-sized temp and pay per-layer copies)
+    defer = True
     cache_arrays = tuple(a for a in cache if a is not None)
 
     x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,

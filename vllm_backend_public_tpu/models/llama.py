@@ -113,10 +113,10 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     x = params["embed"][tokens]  # [B, T, H]
     cos, sin = rope_cos_sin(attn.positions, cfg.head_dim, cfg.rope_theta)
 
-    # deferred single-scatter writes for decode always, and for
-    # prefill when the cache is unquantized (int8-KV prefill keeps
-    # the per-layer quantize+write path)
-    defer = tokens.shape[1] == 1 or not cache.quantized
+    # all paths defer: one post-scan scatter (int8 KV quantizes at
+    # the scatter; a scan-carried quantized pool would double-buffer
+    # a pool-sized temp and pay per-layer copies)
+    defer = True
     cache_arrays = tuple(a for a in cache if a is not None)
 
     x, ys = scan_layers(params["layers"], cfg, x, attn, cache_arrays,

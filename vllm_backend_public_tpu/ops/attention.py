@@ -108,15 +108,12 @@ def _prefix_kernel(*args, bs: int, scale: float,
 
         @pl.when(process)
         def _(j=j, kv_len=kv_len, valid=valid):
+            # stacked pools use a dropped (None) layer dim in the
+            # BlockSpec, so page blocks arrive as [1, NKV, BS, D] in both
+            # modes — in-kernel rank fix-ups would need memref slices
+            # that Mosaic rejects at block_size < 128 lanes
             k_ref, v_ref = k_refs[j], v_refs[j]
             ks_ref, vs_ref = ks_refs[j], vs_refs[j]
-            if stacked:
-                # page blocks are [1, 1, NKV, BS, D]: drop the layer axis
-                k_ref = k_ref.at[0]
-                v_ref = v_ref.at[0]
-                if quant:
-                    ks_ref = ks_ref.at[0]
-                    vs_ref = vs_ref.at[0]
             q = q_ref[j].astype(jnp.float32)           # [NKV, G, D]
             k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
             v = v_ref[0].astype(jnp.float32)
@@ -313,8 +310,12 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         return (bi, 0, qi, 0)
 
     quant = k_scale is not None
-    pg_block = (1, 1, nkv, bs, d) if stacked else (1, nkv, bs, d)
-    ps_block = (1, 1, nkv, bs) if stacked else (1, nkv, bs)
+    # stacked pools: the layer axis is a DROPPED (None) block dim — the
+    # index map picks the layer, the kernel sees [1, NKV, BS, D] page
+    # blocks in both modes (in-kernel rank fix-ups would need memref
+    # slices that Mosaic rejects at block_size < 128 lanes)
+    pg_block = (None, 1, nkv, bs, d) if stacked else (1, nkv, bs, d)
+    ps_block = (None, 1, nkv, bs) if stacked else (1, nkv, bs)
     in_specs = [pl.BlockSpec((S, nkv, qt, d), q_index)]
     operands = [qg]
     in_specs += [pl.BlockSpec(pg_block, page_index_j(j)) for j in range(S)]
@@ -436,7 +437,7 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
                                      block_tables, prefix_lens, write_mask,
                                      scale: float, interpret: bool = False,
                                      use_kernel: bool = True, window=None,
-                                     layer=None):
+                                     layer=None, k_scale=None, v_scale=None):
     """Chunked-prefill attention WITHOUT writing the cache.
 
     q, k_chunk, v_chunk: [B, T, NH|NKV, D] — the current chunk (global
@@ -445,7 +446,11 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     attention (XLA; T x T fits VMEM/MXU comfortably).
     write_mask: [B, T] — padding rows produce garbage but are masked as
     keys. window: sliding-window size — per-row lower bounds, so the
-    prefix part takes the XLA path. Returns [B, T, NH, D].
+    prefix part takes the XLA path. k_scale/v_scale: int8 KV page scales
+    (dequant inside the kernel / fused into the gather), so quantized-KV
+    prefill can defer its cache write like decode does — a lax.scan
+    carrying the quantized pool double-buffers it (pool-sized temp) and
+    costs per-layer copies. Returns [B, T, NH, D].
     """
     b, t, nh, d = q.shape
     nkv = k_chunk.shape[2]
@@ -460,17 +465,14 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     if use_kernel:
         acc1, m1, l1 = paged_prefix_attention(
             qr, k_pages, v_pages, block_tables, prefix_lens, scale,
-            interpret=interpret, layer=layer)
+            interpret=interpret, layer=layer, k_scale=k_scale,
+            v_scale=v_scale)
     else:
         from ..models.common import gather_pages
 
-        if layer is not None:
-            k_pages = jax.lax.dynamic_index_in_dim(k_pages, layer, 0,
-                                                   keepdims=False)
-            v_pages = jax.lax.dynamic_index_in_dim(v_pages, layer, 0,
-                                                   keepdims=False)
-        kp = gather_pages(k_pages, block_tables)  # [B, NKV, CTX, D]
-        vp = gather_pages(v_pages, block_tables)
+        kp = gather_pages(k_pages, block_tables, k_scale,
+                          layer=layer)  # [B, NKV, CTX, D]
+        vp = gather_pages(v_pages, block_tables, v_scale, layer=layer)
         qg = qr.reshape(b, nkv, t * g, d).astype(jnp.float32)
         s = jnp.einsum("bkrd,bkcd->bkrc", qg, kp.astype(jnp.float32)) * scale
         ctx = kp.shape[2]
@@ -531,20 +533,23 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
 def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
                                   block_tables, prefix_lens, scale: float,
                                   k_scale=None, v_scale=None, window=None,
-                                  pending=None):
+                                  pending=None, layer=None):
     """XLA reference for the deferred decode path (gather-based).
 
-    Supports int8 KV pages via per-(block, head, token) scales, and the
-    multi-step lookahead buffer (`pending`, see _merge_pending)."""
+    Supports int8 KV pages via per-(block, head, token) scales, the
+    multi-step lookahead buffer (`pending`, see _merge_pending), and
+    stacked [L, ...] pools via `layer` (fused into the gather indices —
+    never a materialized per-layer pool slice)."""
     from ..models.common import gather_pages
 
     b, nh, d = q.shape
-    nb, nkv, bs, _ = k_pages.shape
+    nb, nkv, bs, _ = k_pages.shape[1:] if layer is not None \
+        else k_pages.shape
     mb = block_tables.shape[1]
     ctx = mb * bs
     g = nh // nkv
-    k = gather_pages(k_pages, block_tables, k_scale)
-    v = gather_pages(v_pages, block_tables, v_scale)
+    k = gather_pages(k_pages, block_tables, k_scale, layer=layer)
+    v = gather_pages(v_pages, block_tables, v_scale, layer=layer)
     extra = 1
     if pending is not None:
         k_buf, v_buf, count = pending

@@ -63,8 +63,14 @@ def mixtral_param_specs(cfg: ModelConfig) -> Dict:
 
 def kv_cache_spec(pipelined: bool = False) -> P:
     # [L, num_blocks, num_kv_heads, block_size, head_dim]; under pipeline
-    # parallelism each stage owns its layers' pages
+    # parallelism each stage owns its layers' pages; TP shards kv heads
     return P("pipe" if pipelined else None, "data", "model", None, None)
+
+
+def kv_scale_spec(pipelined: bool = False) -> P:
+    # int8-KV scales are head-major [L, num_blocks, num_kv_heads,
+    # block_size] (models/common.py:KVCache)
+    return P("pipe" if pipelined else None, "data", "model", None)
 
 
 def param_specs(cfg: ModelConfig, pipelined: bool = False) -> Dict:
