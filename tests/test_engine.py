@@ -368,3 +368,29 @@ def test_mixed_prefill_decode_interleave():
         kinds2.append("p")
         sched2.on_prefill_progress(p.prefill.request, p.prefill.length)
     assert len(kinds2) == 8
+
+
+def test_decode_context_bucketing_equivalence(tiny):
+    """mb-bucketed decode (block-table width sliced to the batch's max
+    context) must not change outputs: compare a roomy max_model_len
+    engine (small contexts -> small bucket) against the default."""
+    import numpy as np
+    cfg, params, model = tiny
+    from fixtures import hf_greedy
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (6, 13)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+
+    def run(mml):
+        eng = LLMEngine(EngineConfig(
+            model="t", dtype="float32", block_size=8, max_num_seqs=2,
+            max_model_len=mml, num_kv_blocks=80,
+            enable_prefix_caching=False, decode_steps_per_call=2),
+            model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    assert run(512) == run(64)

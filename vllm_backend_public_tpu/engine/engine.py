@@ -298,9 +298,17 @@ class LLMEngine:
 
         def decode_multi(params, cache, counts, tokens, kv_lens,
                          block_tables, active, samp, greedy_only, k_steps,
-                         want_logprobs):
+                         want_logprobs, mb_bucket=None):
             # k_steps fused decode iterations per dispatch: one host
-            # round-trip streams k_steps tokens per sequence
+            # round-trip streams k_steps tokens per sequence.
+            # mb_bucket: static context bucket — the attention kernel's
+            # grid spans the block-table width, so slicing it to the
+            # batch's actual max context (pow2-bucketed to bound
+            # recompiles) removes the per-grid-step issue overhead of
+            # OOB-clamped pages (~10 ms/step at max_model_len 2048 with
+            # short contexts)
+            if mb_bucket is not None and mb_bucket < block_tables.shape[1]:
+                block_tables = block_tables[:, :mb_bucket]
             toks_buf = jnp.zeros((k_steps, B), jnp.int32)
             lp_buf = jnp.zeros((k_steps, B), jnp.float32)
             tv_buf = jnp.zeros((k_steps, B, TOPLP), jnp.float32)
@@ -390,7 +398,8 @@ class LLMEngine:
 
         self._decode_fn = jax.jit(
             decode_multi, donate_argnums=(1, 2),
-            static_argnames=("greedy_only", "k_steps", "want_logprobs"),
+            static_argnames=("greedy_only", "k_steps", "want_logprobs",
+                             "mb_bucket"),
             out_shardings=(None, cache_fmt, None, None, None, None))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
@@ -570,12 +579,23 @@ class LLMEngine:
         K = self.econfig.decode_steps_per_call
         want_lp = any(r.sampling.logprobs is not None
                       for r in plan.requests)
+        # context bucket: pow2 block-table width covering every active
+        # sequence's context + this call's K new tokens
+        bs = self.econfig.block_size
+        max_len = int(self._kv_lens[self._active].max()) + K \
+            if self._active.any() else K
+        mb_need = max(-(-max_len // bs), 1)
+        mbk = 1
+        while mbk < mb_need:
+            mbk *= 2
+        mbk = min(mbk, self._MB)
         (toks_buf, self.cache, self._counts, new_kv_lens, new_steps,
          lp_bufs) = self._decode_fn(
             self.params, self.cache, self._counts,
             dev["tokens"], dev["kv_lens"], dev["bt"],
             dev["active"], dev["samp"],
-            greedy_only=dev["greedy"], k_steps=K, want_logprobs=want_lp)
+            greedy_only=dev["greedy"], k_steps=K, want_logprobs=want_lp,
+            mb_bucket=mbk)
         # device state advances in place; host mirrors track it
         dev["tokens"] = toks_buf[K - 1]
         dev["kv_lens"] = new_kv_lens
