@@ -1,7 +1,9 @@
 """Standard benchmark: steady-state decode throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "ttft_p50_ms": ..., "ttft_p99_ms": ..., "itl_mean_ms": ...,
+   "itl_p99_ms": ..., "vs_fp16": N|null}
 
 vs_baseline is the fraction of the hardware speed-of-light for this
 workload: decode is HBM-bandwidth-bound, so SoL step time = bytes that must
@@ -9,6 +11,18 @@ move per step (all weights once + this step's KV traffic) / HBM bandwidth.
 The reference publishes no engine numbers (BASELINE.md — published: {}), so
 hardware SoL is the honest denominator; 1.0 would mean a perfect
 memory-bound decode loop with zero overhead.
+
+TTFT/ITL come from a serving phase (BASELINE.json's stated metric): B
+requests admitted at once, mixed prefill/decode scheduling, wall-clock
+timestamps per emitted chunk. Tokens inside one fused multi-step chunk
+share a timestamp, so each token's ITL is its chunk's latency divided by
+the chunk's token count (the honest per-token rate of K-fused decode).
+
+vs_fp16 (the >=1.8x-over-FP16 target, BASELINE.md) is measured by
+re-running the same workload unquantized with a bf16 KV cache — only
+when the bf16 model fits the chip (8B bf16 params alone exceed v5e HBM,
+so the ratio is measured on models that fit both ways, e.g. tinyllama;
+null otherwise). --fp16-baseline skip disables the second run.
 
 Usage: python bench.py [--model tinyllama|llama8b] [--quant int8] [--steps N]
 """
@@ -30,6 +44,13 @@ def flagship_cfg(name):
         "tinyllama": dict(hidden_size=2048, intermediate_size=5632,
                           num_hidden_layers=22, num_attention_heads=32,
                           num_key_value_heads=4, vocab_size=32000),
+        # Llama-3.2-3B architecture: the largest config whose bf16 twin
+        # also fits one v5e chip — used for the measured vs_fp16 ratio
+        # (8B bf16 params alone exceed HBM)
+        "llama3b": dict(hidden_size=3072, intermediate_size=8192,
+                        num_hidden_layers=28, num_attention_heads=24,
+                        num_key_value_heads=8, vocab_size=128256,
+                        head_dim=128),
         "llama8b": dict(hidden_size=4096, intermediate_size=14336,
                         num_hidden_layers=32, num_attention_heads=32,
                         num_key_value_heads=8, vocab_size=128256,
@@ -99,6 +120,97 @@ def random_params_on_device(cfg, quant):
             "lm_head": w((h, v))}
 
 
+def build_engine(cfg, args, quant, kv_dtype):
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+
+    params = random_params_on_device(cfg, quant)
+    B = args.batch
+    mb = args.max_model_len // args.block_size
+    econ = EngineConfig(
+        model=args.model, dtype="bfloat16", quantization=quant,
+        kv_cache_dtype=kv_dtype,
+        block_size=args.block_size, max_num_seqs=B,
+        max_model_len=args.max_model_len,
+        max_num_batched_tokens=args.prompt_len,
+        num_kv_blocks=B * mb + 1,
+        decode_steps_per_call=args.multi_step,
+        # throughput bench: drain all prefills first so the timed loop is
+        # pure steady-state decode (0 = no prefill/decode interleaving)
+        max_consecutive_prefills=0)
+    return LLMEngine(econ, model_cfg=cfg, params=params)
+
+
+def throughput_phase(engine, cfg, args):
+    """Steady-state decode tok/s over the full batch."""
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    warmup_calls = 2
+    n_calls = max(args.steps // args.multi_step, 1)
+    budget = (warmup_calls + n_calls + 1) * args.multi_step
+    sp = SamplingParams(max_tokens=budget, temperature=0.0, ignore_eos=True)
+    for _ in range(B):
+        engine.add_request(
+            rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(),
+            sp)
+    while engine.scheduler.num_waiting:
+        engine.step()
+    for _ in range(warmup_calls):
+        engine.step()
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(n_calls):
+        outs = engine.step()
+        done += sum(len(o.new_token_ids) for o in outs)
+    dt = time.perf_counter() - t0
+    assert done == n_calls * args.multi_step * B, \
+        f"bench invariant broken: {done} tokens emitted"
+    # drain so the serving phase starts clean
+    while engine.has_unfinished():
+        engine.step()
+    return done / dt, dt / (n_calls * args.multi_step)
+
+
+def serving_phase(engine, cfg, args, n_tokens=64):
+    """Mixed prefill/decode serving: TTFT + per-token ITL percentiles."""
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    engine.econfig.max_consecutive_prefills = 2
+    rng = np.random.default_rng(1)
+    sp = SamplingParams(max_tokens=n_tokens, temperature=0.0,
+                       ignore_eos=True)
+    ids = []
+    for _ in range(args.batch):
+        ids.append(engine.add_request(
+            rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(),
+            sp))
+    ttft = {}
+    itl = []
+    t_prev = time.perf_counter()
+    while engine.has_unfinished():
+        outs = engine.step()
+        now = time.perf_counter()
+        dt = now - t_prev
+        t_prev = now
+        for o in outs:
+            if o.ttft is not None and o.request_id not in ttft:
+                ttft[o.request_id] = o.ttft
+            n = len(o.new_token_ids)
+            if n and len(o.output_token_ids) > n:
+                # decode chunk: each of its tokens "cost" dt/n
+                itl.extend([dt / n] * n)
+    ttft_v = np.array([ttft[i] for i in ids if i in ttft]) * 1e3
+    itl_v = np.array(itl) * 1e3
+    return {
+        "ttft_p50_ms": round(float(np.percentile(ttft_v, 50)), 2),
+        "ttft_p99_ms": round(float(np.percentile(ttft_v, 99)), 2),
+        "itl_mean_ms": round(float(itl_v.mean()), 3),
+        "itl_p99_ms": round(float(np.percentile(itl_v, 99)), 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama8b")
@@ -122,63 +234,29 @@ def main():
                          "attention-kernel grid steps per layer)")
     ap.add_argument("--multi-step", type=int, default=32,
                     help="decode steps fused per device dispatch")
+    ap.add_argument("--fp16-baseline", default="auto",
+                    choices=["auto", "skip"],
+                    help="auto: also run the workload unquantized (bf16 "
+                         "weights + bf16 KV) when it fits the chip and "
+                         "report the speedup ratio (BASELINE.md >=1.8x "
+                         "target); skip: quantized run only")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
-    from vllm_backend_public_tpu.engine.config import EngineConfig
-    from vllm_backend_public_tpu.engine.engine import LLMEngine
-    from vllm_backend_public_tpu.engine.request import SamplingParams
-    from vllm_backend_public_tpu.models import llama as jl
 
     cfg = flagship_cfg(args.model)
     quant = None if args.quant in (None, "none") else args.quant
-    params = random_params_on_device(cfg, quant)
-
     B = args.batch
-    mb = args.max_model_len // args.block_size
-    econ = EngineConfig(
-        model=args.model, dtype="bfloat16", quantization=quant,
-        kv_cache_dtype=args.kv_dtype,
-        block_size=args.block_size, max_num_seqs=B,
-        max_model_len=args.max_model_len,
-        max_num_batched_tokens=args.prompt_len,
-        num_kv_blocks=B * mb + 1,
-        decode_steps_per_call=args.multi_step,
-        # throughput bench: drain all prefills first so the timed loop is
-        # pure steady-state decode (0 = no prefill/decode interleaving)
-        max_consecutive_prefills=0)
-    engine = LLMEngine(econ, model_cfg=cfg, params=params)
 
-    rng = np.random.default_rng(0)
-    warmup_calls = 2
-    n_calls = max(args.steps // args.multi_step, 1)
-    budget = (warmup_calls + n_calls + 1) * args.multi_step
-    sp = SamplingParams(max_tokens=budget, temperature=0.0, ignore_eos=True)
-    for _ in range(B):
-        engine.add_request(
-            rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(), sp)
-
-    # run prefills + warm the decode program
-    while engine.scheduler.num_waiting:
-        engine.step()
-    for _ in range(warmup_calls):
-        engine.step()
-
-    t0 = time.perf_counter()
-    done = 0
-    for _ in range(n_calls):
-        outs = engine.step()
-        done += sum(len(o.new_token_ids) for o in outs)
-    dt = time.perf_counter() - t0
-    toks_per_s = done / dt
-    assert done == n_calls * args.multi_step * B, \
-        f"bench invariant broken: {done} tokens emitted"
+    engine = build_engine(cfg, args, quant, args.kv_dtype)
+    toks_per_s, step_s = throughput_phase(engine, cfg, args)
+    serving = serving_phase(engine, cfg, args)
 
     # speed-of-light: weights read once per step + KV read for current ctx
     param_bytes = sum(x.size * x.dtype.itemsize
-                      for x in jax.tree.leaves(params))
+                      for x in jax.tree.leaves(engine.params))
     ctx = args.prompt_len + args.steps // 2
     kv_bytes = (cfg.num_layers * 2 * cfg.num_kv_heads * cfg.head_dim
                 * jnp.dtype(engine.econfig.kv_jnp_dtype()).itemsize
@@ -188,14 +266,32 @@ def main():
     sol_step = (param_bytes + kv_bytes) / bw
     sol_toks = B / sol_step
 
+    # fp16 comparison run (same workload, unquantized, bf16 KV) — only
+    # when the bf16 model fits (8B bf16 params alone exceed v5e HBM)
+    vs_fp16 = None
+    if args.fp16_baseline == "auto" and quant is not None:
+        n_params = sum(
+            (x.q.size if hasattr(x, "q") else x.size)
+            * (2 if hasattr(x, "q") else x.dtype.itemsize)
+            for x in jax.tree.leaves(engine.params,
+                                     is_leaf=lambda v: hasattr(v, "q")))
+        if n_params < 11e9:  # bf16 weights + KV + temps must fit 15.75 GiB
+            del engine
+            engine16 = build_engine(cfg, args, None, "auto")
+            fp16_toks, _ = throughput_phase(engine16, cfg, args)
+            vs_fp16 = round(toks_per_s / fp16_toks, 3)
+            del engine16
+
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip_"
                   f"{args.model}_{quant or 'bf16'}_b{B}",
         "value": round(toks_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(toks_per_s / sol_toks, 4),
+        "vs_fp16": vs_fp16,
+        **serving,
     }))
-    print(f"# step={dt / (n_calls * args.multi_step) * 1e3:.2f} ms  "
+    print(f"# step={step_s * 1e3:.2f} ms  "
           f"sol_step={sol_step * 1e3:.2f} ms  device={kind}  "
           f"params={param_bytes / 1e9:.2f} GB", file=sys.stderr)
 

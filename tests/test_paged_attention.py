@@ -78,8 +78,11 @@ def test_deferred_decode_int8_kv_in_kernel():
     out = decode_attention_deferred(q, k_new, v_new, kq, vq, bt, pl_,
                                     scale, interpret=True,
                                     k_scale=ks, v_scale=vs)
+    # the kernel runs the int8 path's matmuls in bf16 (q and softmax
+    # weights rounded; the XLA reference stays f32) — tolerance is bf16
+    # epsilon, while end-to-end accuracy is governed by the ppl harness
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_prefix_kernel_unnormalized_state():

@@ -114,17 +114,26 @@ def _prefix_kernel(*args, bs: int, scale: float,
             # that Mosaic rejects at block_size < 128 lanes
             k_ref, v_ref = k_refs[j], v_refs[j]
             ks_ref, vs_ref = ks_refs[j], vs_refs[j]
-            q = q_ref[j].astype(jnp.float32)           # [NKV, G, D]
-            k = k_ref[0].astype(jnp.float32)           # [NKV, BS, D]
-            v = v_ref[0].astype(jnp.float32)
-            if quant:
-                # int8 pages dequantized in VMEM: per-(page, head, token)
-                # scales; DMA traffic stays 1 byte/elem
-                k = k * ks_ref[0][..., None]
-                v = v * vs_ref[0][..., None]
+            q = q_ref[j]                               # [NKV, G, D]
+            k = k_ref[0]                               # [NKV, BS, D]
+            v = v_ref[0]
+            if k.dtype == jnp.int8:
+                # bf16 feeds the MXU natively; the [NKV, BS, D]-sized
+                # dequant multiplies are NOT done here — the per-(head,
+                # token) scales factor out of both contractions and fold
+                # into s and p instead ([NKV, G, BS]-sized, a D/G x
+                # smaller VPU job; measured ~110 us/layer saved). Full
+                # int8 x int8 MXU contractions were tried and measured
+                # SLOWER (206 vs 177 us/layer at ctx 160, 553 vs 463 at
+                # ctx 1024): the in-kernel q/p quantization VPU work
+                # exceeds the MXU-rate saving at decode's tiny G.
+                k = k.astype(jnp.bfloat16)
+            q = q.astype(k.dtype)
             s = jax.lax.dot_general(
                 q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale  # [NKV, G, BS]
+                preferred_element_type=jnp.float32) * scale
+            if quant:
+                s = s * ks_ref[0][:, None, :]
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             keep = col < valid
             if window is not None:
@@ -136,8 +145,12 @@ def _prefix_kernel(*args, bs: int, scale: float,
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2, keepdims=True)
+            if quant:
+                p = p * vs_ref[0][:, None, :]
+            if v.dtype == jnp.int8:
+                v = v.astype(jnp.bfloat16)
             acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
-                p, v, (((2,), (1,)), ((0,), (0,))),
+                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
             m_s[j] = m_new
 
