@@ -95,3 +95,73 @@ def test_prefix_cache_match_and_eviction():
     nat.prefix_match([7, 7, 7, 7])
     st = nat.stats()
     assert st["prefix_queries"] >= 3
+
+
+# ---------------------------------------------------------- re-adoption
+
+def test_procman_readopt_across_instances(tmp_path):
+    """A process spawned by one ProcessManager survives that manager and
+    is re-adopted (watched, stoppable) by a fresh instance — the
+    reference's pods-outlive-the-service pattern (vllm_manager.py:61-76)."""
+    import asyncio
+    import os
+    import sys
+
+    from vllm_backend_public_tpu.services.common.procman import \
+        ProcessManager
+
+    async def go():
+        log_dir = str(tmp_path)
+        pm1 = ProcessManager(log_dir=log_dir, total_tpu_chips=4)
+        await pm1.spawn("eng-x", "engine",
+                        [sys.executable, "-c", "import time; time.sleep(60)"],
+                        tpu_chips=2)
+        pid = pm1.get("eng-x").pid
+        assert pm1.get("eng-x").status == "running"
+        # manager "restarts": new instance, same state file
+        pm2 = ProcessManager(log_dir=log_dir, total_tpu_chips=4)
+        adopted = await pm2.readopt()
+        assert adopted == ["eng-x"]
+        mp = pm2.get("eng-x")
+        assert mp.adopted and mp.pid == pid and mp.status == "running"
+        # chip accounting carried over
+        assert pm2.tpu_chips_in_use() == 2
+        # stop through the adopting manager actually kills it
+        assert await pm2.stop("eng-x")
+        await asyncio.sleep(0.3)
+        assert mp.status == "failed"  # non-child: exit code unknowable
+        with __import__("contextlib").suppress(ProcessLookupError):
+            os.kill(pid, 0)
+            raise AssertionError("process still alive after stop")
+
+    asyncio.new_event_loop().run_until_complete(go())
+
+
+def test_procman_readopt_skips_dead_and_reused_pids(tmp_path):
+    import asyncio
+    import json
+    import os
+    import sys
+
+    from vllm_backend_public_tpu.services.common.procman import \
+        ProcessManager
+
+    async def go():
+        log_dir = str(tmp_path)
+        pm1 = ProcessManager(log_dir=log_dir)
+        await pm1.spawn("gone", "engine",
+                        [sys.executable, "-c", "pass"])
+        await asyncio.sleep(0.5)  # let it exit
+        # forge a stale record pointing at a live but UNRELATED pid
+        state_path = os.path.join(log_dir, "procman-state.json")
+        state = [{"name": "gone", "kind": "engine",
+                  "command": [sys.executable, "-c", "pass"], "pid": 99999999},
+                 {"name": "stolen", "kind": "engine",
+                  "command": ["definitely-not-this-binary"],
+                  "pid": os.getpid()}]
+        with open(state_path, "w") as f:
+            json.dump(state, f)
+        pm2 = ProcessManager(log_dir=log_dir)
+        assert await pm2.readopt() == []
+
+    asyncio.new_event_loop().run_until_complete(go())

@@ -135,3 +135,54 @@ def test_mlflow_watcher_dedupe(tmp_path):
             assert "tpu" in conn["known_processors"]
 
     run(main())
+
+
+def test_argocd_project_and_application_generation(tmp_path):
+    """Model release generates an ArgoCD AppProject (once) and a
+    per-(model, engine) Application with idempotent same-content skip —
+    the reference's three-repo release flow
+    (benchmark-mlflow/github_client.py:266-414)."""
+    import asyncio
+    import json
+
+    import yaml
+
+    from vllm_backend_public_tpu.services.mlflowsvc.service import (
+        ArgoCDGenerator, LocalDirSink, LocalFileRegistry, MLflowWatcher)
+
+    registry_path = tmp_path / "registry.json"
+    registry_path.write_text(json.dumps([
+        {"model_name": "llama-demo", "version": "3", "model_id": "m-3",
+         "run_id": "r", "experiment_id": "e"}]))
+    models_dir = tmp_path / "models-repo"
+    argo_dir = tmp_path / "argo-repo"
+    argo_sink = LocalDirSink(str(argo_dir))
+    svc = MLflowWatcher(
+        registry=LocalFileRegistry(str(registry_path)),
+        sink=LocalDirSink(str(models_dir)),
+        engines=["tpu"], autostart=False,
+        argo=ArgoCDGenerator(argo_sink, project_name="model-serving",
+                             repo_url="https://git.local/models.git",
+                             namespace="serving"))
+
+    async def go():
+        res = await svc.poll_once()
+        assert res["processed"] == ["llama-demo"]
+        proj = yaml.safe_load(
+            (argo_dir / "projects" / "model-serving.yaml").read_text())
+        assert proj["kind"] == "AppProject"
+        assert proj["apiVersion"] == "argoproj.io/v1alpha1"
+        assert "https://git.local/models.git" in proj["spec"]["sourceRepos"]
+        app = yaml.safe_load(
+            (argo_dir / "applications" / "tpu-llama-demo.yaml").read_text())
+        assert app["kind"] == "Application"
+        assert app["spec"]["project"] == "model-serving"
+        assert app["spec"]["source"]["helm"]["valueFiles"] == [
+            "models/tpu/llama-demo.yaml"]
+        assert app["spec"]["destination"]["namespace"] == "serving"
+        # second poll: dedupe on modelid, argo files unchanged (no error)
+        mtime = (argo_dir / "applications" / "tpu-llama-demo.yaml").stat()
+        res2 = await svc.poll_once()
+        assert res2["skipped"] == ["llama-demo"]
+
+    asyncio.new_event_loop().run_until_complete(go())

@@ -223,3 +223,54 @@ def test_deployer_vllm_queue_aliases(tmp_path):
                 assert r.status == 200
 
     run(main())
+
+
+def test_deployer_secret_kind(tmp_path):
+    """Secret docs deploy like ConfigMaps but base64-decode `data`, pass
+    `stringData` through, and write files mode 0600 (reference kind
+    dispatch: benchmark-deployer/kubernetes_client.py:106-226)."""
+    import asyncio
+    import base64
+    import os
+    import stat
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from vllm_backend_public_tpu.services.common.procman import ProcessManager
+    from vllm_backend_public_tpu.services.deployer.service import (
+        DeployerService)
+
+    secret_yaml = """\
+apiVersion: v1
+kind: Secret
+metadata:
+  name: shared-secrets
+data:
+  MONGO_URL: {b64}
+stringData:
+  GITHUB_TOKEN: plain-token
+""".format(b64=base64.b64encode(b"mongodb://mongo-primary:27017").decode())
+
+    async def go():
+        dep = DeployerService(
+            procman=ProcessManager(log_dir=str(tmp_path)))
+        async with TestClient(TestServer(dep.build_app())) as c:
+            r = await c.post("/deploy", json={"yaml_content": secret_yaml})
+            assert r.status == 200
+            out = (await r.json())["deployed"][0]
+            assert out["kind"] == "Secret" and out["status"] == "created"
+            import pathlib
+            root = pathlib.Path(dep.configmap_root) / "shared-secrets"
+            mongo = root / "MONGO_URL"
+            assert mongo.read_text() == "mongodb://mongo-primary:27017"
+            assert (root / "GITHUB_TOKEN").read_text() == "plain-token"
+            mode = stat.S_IMODE(os.stat(mongo).st_mode)
+            assert mode == 0o600, oct(mode)
+            r = await c.get("/deployments")
+            names = [d["name"] for d in (await r.json())["deployments"]]
+            assert "shared-secrets" in names
+            # delete by yaml
+            r = await c.post("/delete", json={"yaml_content": secret_yaml})
+            assert "shared-secrets" in (await r.json())["deleted"]
+
+    asyncio.new_event_loop().run_until_complete(go())

@@ -92,6 +92,53 @@ def build_engine(args):
     return LLMEngine(econ, tokenizer=tok), tok
 
 
+def _run_dp_replicas(args, argv):
+    """Spawn N single-replica servers and front them with the DP router.
+
+    Each replica is this same server binary minus the --dp-replicas flag,
+    on port+1..port+N; the router serves --port with health-checked
+    least-outstanding-requests routing (server/router.py)."""
+    import subprocess
+    import sys
+
+    src = list(argv if argv is not None else sys.argv[1:])
+    base = []
+    skip = False
+    for i, tok in enumerate(src):
+        if skip:
+            skip = False
+            continue
+        if tok in ("--dp-replicas", "--port"):
+            skip = True
+            continue
+        if tok.startswith("--dp-replicas=") or tok.startswith("--port="):
+            continue
+        base.append(tok)
+
+    ports = [args.port + 1 + i for i in range(args.dp_replicas)]
+    procs = []
+    try:
+        for p in ports:
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "vllm_backend_public_tpu.server",
+                 *base, "--port", str(p)]))
+        logging.info("dp replicas on ports %s; router on %d", ports,
+                     args.port)
+        from aiohttp import web
+
+        from .router import DPRouter
+        router = DPRouter([f"http://127.0.0.1:{p}" for p in ports])
+        web.run_app(router.build_app(), host=args.host, port=args.port)
+    finally:
+        for pr in procs:
+            pr.terminate()
+        for pr in procs:
+            try:
+                pr.wait(timeout=10)
+            except Exception:
+                pr.kill()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("vllm-backend-public-tpu server")
     ap.add_argument("--model", default=None, help="HF model directory")
@@ -124,6 +171,13 @@ def main(argv=None):
     ap.add_argument("--coordinator-address", default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    # DP-as-replicas: N engine processes + the least-outstanding-requests
+    # router in front (server/router.py) — the in-repo analog of the
+    # reference's replicaCount behind a K8s Service
+    # (reference vllm_manager.py:370)
+    ap.add_argument("--dp-replicas", type=int, default=0,
+                    help="spawn N engine replicas on port+1..port+N and "
+                         "serve a request router on --port")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -143,6 +197,9 @@ def main(argv=None):
     faulthandler.register(signal.SIGUSR1, all_threads=True)
     if not args.demo and not args.model:
         ap.error("--model or --demo required")
+
+    if args.dp_replicas > 1:
+        return _run_dp_replicas(args, argv)
 
     if args.distributed:
         import jax

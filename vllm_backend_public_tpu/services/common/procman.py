@@ -35,10 +35,16 @@ class ManagedProcess:
     # TPU resource accounting (the analog of GPU/MIG requests,
     # reference kubernetes_client.py:349-396)
     tpu_chips: int = 0
+    # re-adoption across manager restarts (the reference's pods keep
+    # running when the service restarts and are rehydrated from Mongo,
+    # reference vllm_manager.py:61-76): pid survives in the state file,
+    # adopted processes are watched by liveness poll instead of wait()
+    pid: Optional[int] = None
+    adopted: bool = False
 
     @property
     def status(self) -> str:
-        if self.proc is None:
+        if self.proc is None and not self.adopted:
             return "pending"
         if self.returncode is None:
             return "running"
@@ -54,6 +60,84 @@ class ProcessManager:
         if total_tpu_chips is None:
             total_tpu_chips = int(os.environ.get("TPU_CHIPS", "1"))
         self.total_tpu_chips = total_tpu_chips
+        self._state_path = os.path.join(log_dir, "procman-state.json")
+
+    # ------------------------------------------------------- re-adoption
+
+    def _save_state(self) -> None:
+        import json
+        state = [{
+            "name": p.name, "kind": p.kind, "command": p.command,
+            "log_path": p.log_path, "tpu_chips": p.tpu_chips,
+            "created_at": p.created_at,
+            "pid": p.pid if p.returncode is None else None,
+        } for p in self._procs.values() if p.returncode is None]
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)
+
+    @staticmethod
+    def _pid_matches(pid: int, command: List[str]) -> bool:
+        """Alive AND still the process we spawned (pid-reuse guard)."""
+        try:
+            os.kill(pid, 0)
+        except (ProcessLookupError, PermissionError):
+            return False
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+            return any(a.decode("utf-8", "replace") in command
+                       for a in argv if a)
+        except OSError:
+            return True  # alive but unreadable: assume ours
+
+    async def readopt(self) -> List[str]:
+        """Re-adopt engine/job processes spawned by a previous manager
+        instance (the reference's reload-deployments-from-Mongo pattern,
+        vllm_manager.py:61-76 — here the pods are local processes that
+        survive a service restart). Returns adopted names."""
+        import json
+        if not os.path.exists(self._state_path):
+            return []
+        try:
+            with open(self._state_path) as f:
+                state = json.load(f)
+        except (OSError, ValueError):
+            return []
+        adopted = []
+        for rec in state:
+            name, pid = rec.get("name"), rec.get("pid")
+            if not name or name in self._procs or not pid:
+                continue
+            if not self._pid_matches(pid, rec.get("command", [])):
+                continue
+            mp = ManagedProcess(
+                name=name, kind=rec.get("kind", "engine"),
+                command=rec.get("command", []),
+                log_path=rec.get("log_path", ""),
+                tpu_chips=int(rec.get("tpu_chips", 0)),
+                created_at=rec.get("created_at", time.time()),
+                pid=pid, adopted=True)
+            self._procs[name] = mp
+            asyncio.get_running_loop().create_task(self._watch_adopted(mp))
+            adopted.append(name)
+        self._save_state()
+        return adopted
+
+    async def _watch_adopted(self, mp: ManagedProcess,
+                             poll_s: float = 2.0) -> None:
+        """A re-adopted process isn't our child, so poll liveness
+        instead of wait()."""
+        while mp.returncode is None:
+            try:
+                os.kill(mp.pid, 0)
+            except (ProcessLookupError, PermissionError):
+                mp.returncode = -1  # exit status unknowable for non-child
+                mp.finished_at = time.time()
+                self._save_state()
+                return
+            await asyncio.sleep(poll_s)
 
     # ---------------------------------------------------------- resources
 
@@ -84,7 +168,9 @@ class ProcessManager:
             *command, env=full_env, cwd=cwd,
             stdout=logf, stderr=asyncio.subprocess.STDOUT,
             start_new_session=True)
+        mp.pid = mp.proc.pid
         self._procs[name] = mp
+        self._save_state()
         asyncio.get_running_loop().create_task(self._reap(mp, logf))
         return mp
 
@@ -92,27 +178,50 @@ class ProcessManager:
         mp.returncode = await mp.proc.wait()
         mp.finished_at = time.time()
         logf.close()
+        self._save_state()
 
     async def stop(self, name: str, grace_s: float = 5.0) -> bool:
         mp = self._procs.get(name)
-        if mp is None or mp.proc is None or mp.returncode is not None:
+        if mp is None or mp.returncode is not None or mp.pid is None:
             return False
         # kill the exact process group we started — never by pattern
         try:
-            os.killpg(os.getpgid(mp.proc.pid), signal.SIGTERM)
+            os.killpg(os.getpgid(mp.pid), signal.SIGTERM)
         except ProcessLookupError:
             return False
-        try:
-            await asyncio.wait_for(mp.proc.wait(), timeout=grace_s)
-        except asyncio.TimeoutError:
+        if mp.proc is not None:
             try:
-                os.killpg(os.getpgid(mp.proc.pid), signal.SIGKILL)
-            except ProcessLookupError:
-                pass
+                await asyncio.wait_for(mp.proc.wait(), timeout=grace_s)
+            except asyncio.TimeoutError:
+                try:
+                    os.killpg(os.getpgid(mp.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+        else:
+            # adopted (non-child): poll until the liveness watcher or a
+            # hard kill settles it
+            for _ in range(int(grace_s / 0.2)):
+                try:
+                    os.kill(mp.pid, 0)
+                except (ProcessLookupError, PermissionError):
+                    break
+                await asyncio.sleep(0.2)
+            else:
+                try:
+                    os.killpg(os.getpgid(mp.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+            if mp.returncode is None:
+                mp.returncode = -1
+                mp.finished_at = time.time()
+        self._save_state()
         return True
 
     def remove(self, name: str) -> bool:
-        return self._procs.pop(name, None) is not None
+        removed = self._procs.pop(name, None) is not None
+        if removed:
+            self._save_state()
+        return removed
 
     # ------------------------------------------------------------- status
 
@@ -139,4 +248,5 @@ class ProcessManager:
             "command": mp.command, "tpu_chips": mp.tpu_chips,
             "created_at": mp.created_at, "finished_at": mp.finished_at,
             "returncode": mp.returncode, "log_path": mp.log_path,
+            "pid": mp.pid, "adopted": mp.adopted,
         }

@@ -76,11 +76,17 @@ def engine_command(config: dict, port: int) -> List[str]:
         "max_num_batched_tokens": "--max-num-batched-tokens",
         "hbm_utilization": "--hbm-utilization",
         "tensor_parallel_size": "--tensor-parallel-size",
-        "data_parallel_size": "--data-parallel-size",
     }
     for key, flag in flag_map.items():
         if config.get(key) is not None:
             cmd += [flag, str(config[key])]
+    # data parallelism deploys as replicas behind the request router
+    # (server/router.py) — the reference's replicaCount-behind-a-Service
+    # (vllm_manager.py:370); in-program DP would shard the KV pool for
+    # no serving benefit
+    dp = int(config.get("data_parallel_size") or 1)
+    if dp > 1:
+        cmd += ["--dp-replicas", str(dp)]
     return cmd
 
 
@@ -217,14 +223,32 @@ class DeployerService(ServiceApp):
         name = meta.get("name") or f"res-{uuid.uuid4().hex[:8]}"
         namespace = meta.get("namespace", "default")
 
-        if kind == "ConfigMap":
+        if kind in ("ConfigMap", "Secret"):
+            # Secret: same file-mount substrate as ConfigMap but values
+            # are base64-decoded (k8s Secret data contract; stringData
+            # passes through) and files are chmod 0600
+            # (reference kind dispatch: kubernetes_client.py:106-226)
             cm_dir = os.path.join(self.configmap_root, name)
             os.makedirs(cm_dir, exist_ok=True)
-            for fname, content in (doc.get("data") or {}).items():
-                with open(os.path.join(cm_dir, fname), "w") as f:
+            items = dict(doc.get("data") or {})
+            if kind == "Secret":
+                import base64
+                decoded = {}
+                for fname, content in items.items():
+                    try:
+                        decoded[fname] = base64.b64decode(
+                            content).decode("utf-8", "replace")
+                    except Exception:
+                        decoded[fname] = str(content)
+                decoded.update(doc.get("stringData") or {})
+                items = decoded
+            for fname, content in items.items():
+                path = os.path.join(cm_dir, fname)
+                with open(path, "w") as f:
                     f.write(content)
-            await self._register(name, "ConfigMap", namespace,
-                                 {"dir": cm_dir})
+                if kind == "Secret":
+                    os.chmod(path, 0o600)
+            await self._register(name, kind, namespace, {"dir": cm_dir})
             return {"name": name, "kind": kind, "status": "created"}
 
         if kind == "Job":

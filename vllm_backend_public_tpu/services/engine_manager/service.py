@@ -471,6 +471,24 @@ class EngineManagerService(ServiceApp):
             REPO_ROOT, "configs")
 
     async def on_startup(self):
+        # re-adopt engine processes a previous manager instance left
+        # running, then reconcile the deployment records against them —
+        # the reference reloads deployments from Mongo while its pods
+        # keep serving (vllm_manager.py:61-76, main.py:69-71)
+        adopted = await self.procman.readopt()
+        if adopted:
+            logger.info("re-adopted running processes: %s", adopted)
+        for dep in await self.store["engine_deployments"].find(
+                {"status": {"$in": ["ready", "deploying"]}}):
+            name = dep.get("name")
+            mp = self.procman.get(name)
+            if mp is not None and mp.status == "running":
+                continue
+            await self.store["engine_deployments"].update_one(
+                {"name": name},
+                {"$set": {"status": "failed",
+                          "error": "engine process not found after "
+                                   "manager restart"}})
         if self.autostart:
             self.queue.start()
 

@@ -152,6 +152,81 @@ class GitHubSink(GitSink):
                     raise RuntimeError(f"github put {path}: HTTP {r.status}")
 
 
+class ArgoCDGenerator:
+    """ArgoCD AppProject + per-(model, engine) Application generation.
+
+    The reference commits these into a third ("argo") repo from
+    str.format templates with an idempotent same-content skip
+    (reference: benchmark-mlflow/github_client.py:266-414); ArgoCD then
+    deploys the released model. Same flow here against a pluggable sink;
+    the manifests follow the argoproj.io/v1alpha1 schema the reference's
+    templates render.
+    """
+
+    def __init__(self, sink: GitSink, project_name: str, repo_url: str,
+                 namespace: str):
+        self.sink = sink
+        self.project_name = project_name
+        self.repo_url = repo_url
+        self.namespace = namespace
+
+    async def _put_if_changed(self, path: str, doc: dict,
+                              message: str) -> bool:
+        content = yaml.safe_dump(doc, sort_keys=False)
+        existing = await self.sink.get(path)
+        if existing is not None and existing.strip() == content.strip():
+            return False  # idempotent same-content skip (:316-320)
+        await self.sink.put(path, content, message)
+        return True
+
+    async def ensure_project(self) -> bool:
+        doc = {
+            "apiVersion": "argoproj.io/v1alpha1",
+            "kind": "AppProject",
+            "metadata": {"name": self.project_name,
+                         "namespace": "argocd"},
+            "spec": {
+                "description": f"model releases for {self.project_name}",
+                "sourceRepos": [self.repo_url],
+                "destinations": [{"server":
+                                  "https://kubernetes.default.svc",
+                                  "namespace": self.namespace}],
+                "clusterResourceWhitelist": [{"group": "*", "kind": "*"}],
+            },
+        }
+        return await self._put_if_changed(
+            f"projects/{self.project_name}.yaml", doc,
+            f"Create ArgoCD AppProject {self.project_name}")
+
+    async def upsert_application(self, model_name: str,
+                                 engine: str) -> bool:
+        app_name = f"{engine}-{model_name}".lower().replace("_", "-")
+        doc = {
+            "apiVersion": "argoproj.io/v1alpha1",
+            "kind": "Application",
+            "metadata": {"name": app_name, "namespace": "argocd"},
+            "spec": {
+                "project": self.project_name,
+                "source": {
+                    "repoURL": self.repo_url,
+                    "targetRevision": "HEAD",
+                    "path": engine,
+                    "helm": {"valueFiles":
+                             [f"models/{engine}/{model_name}.yaml"]},
+                },
+                "destination": {
+                    "server": "https://kubernetes.default.svc",
+                    "namespace": self.namespace,
+                },
+                "syncPolicy": {"automated": {"prune": True,
+                                             "selfHeal": True}},
+            },
+        }
+        return await self._put_if_changed(
+            f"applications/{app_name}.yaml", doc,
+            f"Update ArgoCD Application for {model_name}")
+
+
 class MLflowWatcher(ServiceApp):
     name = "mlflow-watcher"
 
@@ -161,7 +236,8 @@ class MLflowWatcher(ServiceApp):
                  engines: Optional[List[str]] = None,
                  eval_url: str = "", poll_interval: Optional[float] = None,
                  autostart: bool = True,
-                 templates: Optional[Dict[str, dict]] = None):
+                 templates: Optional[Dict[str, dict]] = None,
+                 argo: Optional[ArgoCDGenerator] = None):
         super().__init__(store or connect_store(
             db_name="manage_db", snapshot_path=snapshot_path))
         if registry is None:
@@ -186,6 +262,21 @@ class MLflowWatcher(ServiceApp):
                                                         "60")))
         self.autostart = autostart
         self.templates = templates or {}
+        if argo is None and os.environ.get("ARGO_ENABLED") == "1":
+            # third repo (reference's argo repo): own sink + settings
+            argo_repo = os.environ.get("GITHUB_ARGO_REPO", "")
+            token = os.environ.get("GITHUB_TOKEN", "")
+            argo_sink = (GitHubSink(argo_repo, token)
+                         if argo_repo and token else LocalDirSink(
+                             os.environ.get("LOCAL_ARGO_DIR",
+                                            "/tmp/vbpt-argo-repo")))
+            argo = ArgoCDGenerator(
+                argo_sink,
+                project_name=os.environ.get("ARGO_PROJECT", "model-serving"),
+                repo_url=os.environ.get("ARGO_REPO_URL",
+                                        "https://example.local/models.git"),
+                namespace=os.environ.get("ARGO_NAMESPACE", "serving"))
+        self.argo = argo
         self.last_poll: Optional[dict] = None
 
     async def on_startup(self):
@@ -249,6 +340,12 @@ class MLflowWatcher(ServiceApp):
                 "version": event.get("version"), "path": path,
                 "at": time.time()})
             handled_any = True
+            if self.argo is not None:
+                # ArgoCD release: project (once) + per-(model, engine)
+                # Application (reference mlflow_manager.py:219-239)
+                await self.argo.ensure_project()
+                await self.argo.upsert_application(
+                    self._safe(event["model_name"]), engine)
         if handled_any and self.eval_url:
             await self._request_evaluation(event)
         return handled_any
