@@ -31,22 +31,36 @@ from ..models.common import AttnInputs, init_kv_cache
 
 
 def _seq_nll(params, cfg: ModelConfig, seq: np.ndarray,
-             kv_dtype=jnp.bfloat16, attn_impl: str = "xla"):
-    """Summed next-token NLL and token count for one sequence."""
+             kv_dtype=jnp.bfloat16, attn_impl: str = "xla",
+             chunk: int = 64):
+    """Summed next-token NLL and token count for one sequence.
+
+    The sequence is processed in CHUNKS like serving-time chunked
+    prefill, so every chunk after the first attends through the cached —
+    possibly quantized — KV pages. A single full-length pass would keep
+    all attention in-chunk and never read the cache, making int8-KV
+    deltas trivially zero."""
     fam = get_model(cfg.arch)
     T = len(seq)
     bs = 16
     mb = -(-T // bs)
     cache = init_kv_cache(cfg, mb + 1, bs, dtype=kv_dtype)
-    attn = AttnInputs(
-        block_tables=jnp.arange(1, mb + 1, dtype=jnp.int32)[None, :],
-        kv_lens=jnp.array([T], jnp.int32),
-        positions=jnp.arange(T, dtype=jnp.int32)[None, :],
-        write_mask=jnp.ones((1, T), bool))
-    hidden, _ = fam.forward_hidden(
-        params, cfg, jnp.asarray(seq, dtype=jnp.int32)[None, :], attn,
-        cache, attn_impl=attn_impl)
-    logits = fam.logits_from_hidden(params, hidden)[0]  # [T, V] f32
+    bt = jnp.arange(1, mb + 1, dtype=jnp.int32)[None, :]
+    nll = 0.0
+    logps = []
+    for start in range(0, T, chunk):
+        end = min(start + chunk, T)
+        attn = AttnInputs(
+            block_tables=bt,
+            kv_lens=jnp.array([end], jnp.int32),
+            positions=jnp.arange(start, end, dtype=jnp.int32)[None, :],
+            write_mask=jnp.ones((1, end - start), bool))
+        hidden, cache = fam.forward_hidden(
+            params, cfg,
+            jnp.asarray(seq[start:end], dtype=jnp.int32)[None, :], attn,
+            cache, attn_impl=attn_impl)
+        logps.append(fam.logits_from_hidden(params, hidden)[0])
+    logits = jnp.concatenate(logps, axis=0)            # [T, V] f32
     logp = jax.nn.log_softmax(logits[:-1], axis=-1)
     tgt = jnp.asarray(seq[1:], dtype=jnp.int32)
     nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1).sum()
