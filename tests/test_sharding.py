@@ -147,3 +147,8 @@ def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
     assert pp == ref
     pp_mb = run(pipeline_parallel_size=2, pipeline_microbatches=2)
     assert pp_mb == ref
+    # steady-state pipelined decode: K fused greedy steps keep the ring
+    # full across steps (parallel/pipeline.py:pipelined_decode_greedy)
+    pp_ss = run(pipeline_parallel_size=2, pipeline_microbatches=2,
+                decode_steps_per_call=3)
+    assert pp_ss == ref

@@ -309,6 +309,24 @@ class LLMEngine:
             # short contexts)
             if mb_bucket is not None and mb_bucket < block_tables.shape[1]:
                 block_tables = block_tables[:, :mb_bucket]
+            pp_n = self.econfig.pipeline_parallel_size
+            if pp_n > 1 and greedy_only and not want_logprobs and B >= pp_n:
+                # steady-state pipelined decode: the (step, microbatch)
+                # stream keeps the stage ring full across all K steps
+                # (utilization ~K*M/(K*M+S-1) instead of M/(M+S-1) per
+                # step) — greedy only; sampling/penalties/logprobs fall
+                # back to the per-step fill/drain path below
+                from ..parallel.pipeline import pipelined_decode_greedy
+                toks_buf, cache, kv_lens = pipelined_decode_greedy(
+                    params, cfg, cache, tokens, kv_lens, block_tables,
+                    active, self.mesh, self.family, k_steps,
+                    self.econfig.pipeline_microbatches)
+                toks_buf = jnp.where(active[None, :], toks_buf, 0)
+                rows = jnp.tile(jnp.arange(B, dtype=jnp.int32), k_steps)
+                counts = counts.at[rows, toks_buf.reshape(-1)].add(
+                    jnp.tile(active.astype(jnp.int32), k_steps))
+                steps = samp["steps"] + k_steps * active.astype(jnp.int32)
+                return (toks_buf, cache, counts, kv_lens, steps, None)
             toks_buf = jnp.zeros((k_steps, B), jnp.int32)
             lp_buf = jnp.zeros((k_steps, B), jnp.float32)
             tv_buf = jnp.zeros((k_steps, B, TOPLP), jnp.float32)

@@ -147,6 +147,148 @@ def pipelined_forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     return hidden, cache
 
 
+def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
+                            tokens: jax.Array, kv_lens: jax.Array,
+                            block_tables: jax.Array, active: jax.Array,
+                            mesh, family, k_steps: int,
+                            num_microbatches: int = 0,
+                            attn_impl: str = "xla"):
+    """STEADY-STATE pipelined greedy decode: K fused steps with the ring
+    kept full ACROSS steps.
+
+    The per-step fill/drain schedule (pipelined_forward_hidden) caps
+    stage utilization at M/(M+S-1) because the ring drains between
+    decode steps. Decode steps are data-dependent only WITHIN a
+    microbatch (token k+1 of microbatch m needs token k of m), so the
+    (step, microbatch) stream (0,0)(0,1)..(0,M-1)(1,0).. can flow
+    continuously: microbatch m of step k+1 enters stage 0 exactly M
+    ticks after m of step k did, and its sampled token ppermutes back
+    from the last stage in S-1 < M ticks — so for M >= S the ring never
+    drains and utilization approaches K*M/(K*M + S - 1).
+
+    Greedy-only (argmax at the last stage): the engine falls back to the
+    fill/drain path when sampling/penalties/logprobs are requested.
+    Returns (toks [K, B], cache, new_kv_lens).
+    """
+    S = num_stages(mesh)
+    B = tokens.shape[0]
+    M = num_microbatches or S
+    M = max(min(M, B), S)  # ring stays full only for M >= S
+    while B % M:
+        M -= 1
+    if M < S:
+        raise ValueError(f"batch {B} cannot fill {S} stages")
+    Bm = B // M
+    K = k_steps
+    total = K * M + S - 1
+
+    def split(a, trailing):
+        a = a.reshape(M, Bm, *a.shape[1:])
+        spec = P(None, "data", *([None] * trailing))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    tok_mb = split(tokens, 0)          # [M, Bm]
+    kv_mb = split(kv_lens, 0)
+    bt_mb = split(block_tables, 1)
+    act_mb = split(active, 0)
+
+    layers = params["layers"]
+    rest = {k: v for k, v in params.items() if k != "layers"}
+    ring = [(i, (i + 1) % S) for i in range(S)]
+    back = [(S - 1, 0)]
+
+    def spmd(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb):
+        stage = jax.lax.axis_index("pipe")
+        hdim = cfg.hidden_size
+        dtype = rest["embed"].dtype
+
+        def pick(a, m):
+            return jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
+
+        def body(t, carry):
+            tok_cur, buf, out, cache = carry
+            g = t - stage
+            valid = (g >= 0) & (g < K * M)
+            gc = jnp.clip(g, 0, K * M - 1)
+            k_idx = gc // M
+            m_idx = gc % M
+
+            tok_m = pick(tok_cur, m_idx)               # [Bm]
+            feed = family.embed_tokens(
+                rest, cfg, tok_m[:, None],
+                (pick(kv_mb, m_idx) + k_idx)[:, None])
+            x = jnp.where(stage == 0, feed.astype(dtype), buf)
+
+            kvl = pick(kv_mb, m_idx) + k_idx
+            act = pick(act_mb, m_idx) & valid
+            attn_m = AttnInputs(
+                block_tables=pick(bt_mb, m_idx),
+                kv_lens=kvl + act.astype(jnp.int32),
+                positions=kvl[:, None],
+                write_mask=act[:, None])
+            if getattr(family, "USES_ROPE", True):
+                cos, sin = rope_cos_sin(attn_m.positions, cfg.head_dim,
+                                        cfg.rope_theta)
+            else:
+                cos = sin = None
+            cache_arrays = tuple(a for a in cache if a is not None)
+            x, ys = family.scan_layers(layers, cfg, x, attn_m,
+                                       cache_arrays, cos, sin, attn_impl,
+                                       defer=True)
+            from ..models.common import write_kv_all_layers
+            cache = write_kv_all_layers(cache, ys[0], ys[1], attn_m)
+
+            # last stage: greedy next token (lm_head runs on every stage
+            # — SPMD can't branch per stage; S-1 wasted [Bm, V] matmuls)
+            h = family.finalize_hidden(rest, cfg, x)
+            logits = family.logits_from_hidden(rest, h[:, 0])
+            tok_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            # token rides back to stage 0; activation rides forward
+            tok_in = jax.lax.ppermute(tok_next, "pipe", back)
+            buf = jax.lax.ppermute(x, "pipe", ring)
+
+            # the arriving token was sampled at tick t for g = t-(S-1):
+            # stage 0 consumes it as microbatch m' step k'+1's input and
+            # records it as step k' output
+            gp = t - (S - 1)
+            validp = (gp >= 0) & (gp < K * M) & (stage == 0)
+            gpc = jnp.clip(gp, 0, K * M - 1)
+            kp = gpc // M
+            mp = gpc % M
+            new_tok = jnp.where(validp, tok_in, pick(tok_cur, mp))
+            tok_cur = jax.lax.dynamic_update_index_in_dim(
+                tok_cur, new_tok, mp, 0)
+            prev_out = out[kp, mp]
+            out = out.at[kp, mp].set(jnp.where(validp, tok_in, prev_out))
+            return (tok_cur, buf, out, cache)
+
+        out0 = jnp.zeros((K, M, Bm), jnp.int32)
+        buf0 = jnp.zeros((Bm, 1, hdim), dtype)
+        # the loop body makes these carries vary across stages (each
+        # stage sees different values) — mark the replicated initials as
+        # varying over "pipe" so the scan carry types match
+        tok0, buf0, out0 = jax.lax.pcast(
+            (tok_mb, buf0, out0), ("pipe",), to="varying")
+        tok_cur, buf, out, cache = jax.lax.fori_loop(
+            0, total, body, (tok0, buf0, out0, cache))
+        # outputs live on stage 0 only
+        out = jax.lax.psum(
+            jnp.where(stage == 0, out, jnp.zeros_like(out)), "pipe")
+        return out, cache
+
+    out_mb, cache = jax.shard_map(
+        spmd, mesh=mesh,
+        in_specs=(P("pipe"), P("pipe"), P(), P(), P(), P(), P()),
+        out_specs=(P(), P("pipe")),
+        axis_names={"pipe"},
+    )(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb)
+
+    toks = out_mb.reshape(K, B)
+    new_kv_lens = kv_lens + active.astype(jnp.int32) * K
+    return toks, cache, new_kv_lens
+
+
 def make_forward_hidden(mesh, family, num_microbatches: int = 0):
     """Bind a forward_hidden-signature callable for the engine: the engine
     swaps this in for the family's forward when pipeline_parallel > 1."""
