@@ -191,3 +191,31 @@ def test_window_page_recycling():
         want.append(tok)
         seq.append(tok)
     assert out == want
+
+
+def test_window_engine_multi_step_lookahead():
+    """Sliding-window models on the lookahead multi-step decode path:
+    K fused steps (pending buffer, window bound at the TRUE query
+    position prefix+count) == single-step decode."""
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    hf_cfg, model = _tiny_mistral_torch()
+    cfg, params = _ours(hf_cfg.to_dict(), model.state_dict())
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, 256, size=n).tolist()
+               for n in (WINDOW + 3, 5)]
+    sp = SamplingParams(max_tokens=WINDOW, temperature=0.0,
+                        ignore_eos=True)
+
+    def run(k):
+        eng = LLMEngine(
+            EngineConfig(model="m", dtype="float32", block_size=8,
+                         max_num_seqs=2, max_model_len=64,
+                         num_kv_blocks=32, enable_prefix_caching=False,
+                         decode_steps_per_call=k),
+            model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    assert run(4) == run(1)

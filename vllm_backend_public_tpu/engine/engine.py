@@ -248,12 +248,12 @@ class LLMEngine:
         # full device copy per iteration — measured 4.8 ms/step on
         # Llama-3-8B int8 KV). New K/V go to a small [L, K, B, NKV, D]
         # side buffer that attention folds in (`pending`); ONE scatter
-        # writes all K steps after the loop. Sliding-window models and
-        # pipeline parallelism use the legacy carried-cache path (the
-        # window mask needs the true query position, and the pipelined
-        # forward doesn't thread kv_pending).
-        use_pending = (cfg.sliding_window is None
-                       and self.econfig.pipeline_parallel_size == 1)
+        # writes all K steps after the loop. Sliding-window models ride
+        # this path too — the attention kernel takes the TRUE query
+        # position (prefix + lookahead count) for its window bound.
+        # Pipeline parallelism keeps the legacy carried-cache path (the
+        # pipelined forward doesn't thread kv_pending).
+        use_pending = self.econfig.pipeline_parallel_size == 1
         nkv, hd, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
         buf_dtype = self.econfig.jnp_dtype()
 

@@ -70,9 +70,14 @@ def _prefix_kernel(*args, bs: int, scale: float,
     batch 64 x 3 pages). S independent chains interleave in the
     compiler's schedule and amortize the per-grid-step fixed cost.
     """
-    # operands: [li_ref if stacked], bt_ref, kl_ref, then tensor refs
-    pref = 3 if stacked else 2
-    bt_ref, kl_ref = args[pref - 2], args[pref - 1]
+    # operands: [li_ref if stacked], bt_ref, kl_ref, [qp_ref if window],
+    # then tensor refs. qp_ref carries the TRUE query positions: with the
+    # multi-step lookahead buffer the query sits `count` tokens past the
+    # in-cache prefix, so the window bound can't derive from kv_len.
+    off = 1 if stacked else 0
+    pref = off + 2 + (1 if window is not None else 0)
+    bt_ref, kl_ref = args[off], args[off + 1]
+    qp_ref = args[off + 2] if window is not None else kl_ref
     refs = list(args[pref:])
     q_ref = refs[0]
     k_refs = refs[1:1 + S]
@@ -98,16 +103,17 @@ def _prefix_kernel(*args, bs: int, scale: float,
 
     for j in range(S):
         kv_len = kl_ref[bi * S + j]
+        qpos = qp_ref[bi * S + j]
         valid = kv_len - i * bs
         process = valid > 0
         if window is not None:
-            # sliding window (decode: every query row sits at position
-            # kv_len): cache keys valid iff pos > kv_len - window; skip
-            # pages entirely below the window
-            process &= (i * bs + bs - 1) > (kv_len - window)
+            # sliding window: cache keys valid iff pos > qpos - window
+            # (qpos = the query's true position); skip pages entirely
+            # below the window
+            process &= (i * bs + bs - 1) > (qpos - window)
 
         @pl.when(process)
-        def _(j=j, kv_len=kv_len, valid=valid):
+        def _(j=j, kv_len=kv_len, qpos=qpos, valid=valid):
             # stacked pools use a dropped (None) layer dim in the
             # BlockSpec, so page blocks arrive as [1, NKV, BS, D] in both
             # modes — in-kernel rank fix-ups would need memref slices
@@ -137,7 +143,7 @@ def _prefix_kernel(*args, bs: int, scale: float,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             keep = col < valid
             if window is not None:
-                keep &= (col + i * bs) > (kv_len - window)
+                keep &= (col + i * bs) > (qpos - window)
             s = jnp.where(keep, s, NEG_INF)
 
             m_prev = m_s[j]                            # [NKV, G, 1]
@@ -173,7 +179,7 @@ def _pick_qtile(rows: int) -> int:
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
                            window=None, k_scale=None, v_scale=None,
-                           layer=None):
+                           layer=None, qpos_lens=None):
     """Unnormalized flash attention over cached prefix pages (mesh-aware).
 
     Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
@@ -192,17 +198,18 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         return _paged_prefix_attention_sharded(
             q, k_pages, v_pages, block_tables, prefix_lens, scale, mesh,
             interpret=interpret, window=window, k_scale=k_scale,
-            v_scale=v_scale, layer=layer)
+            v_scale=v_scale, layer=layer, qpos_lens=qpos_lens)
     return _paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
-        v_scale=v_scale, layer=layer)
+        v_scale=v_scale, layer=layer, qpos_lens=qpos_lens)
 
 
 def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                                     prefix_lens, scale: float, mesh,
                                     interpret: bool = False, window=None,
-                                    k_scale=None, v_scale=None, layer=None):
+                                    k_scale=None, v_scale=None, layer=None,
+                                    qpos_lens=None):
     """shard_map TP/EP wrapping of the local kernel.
 
     Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
@@ -222,8 +229,15 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
           else P(None, "model", None))
     quant = k_scale is not None
 
+    windowed = window is not None
+    if windowed and qpos_lens is None:
+        qpos_lens = prefix_lens
+
     args = [q, k_pages, v_pages, block_tables, prefix_lens]
     specs = [qs, pg, pg, P("data", None), P("data")]
+    if windowed:
+        args.append(qpos_lens)
+        specs.append(P("data"))
     if quant:
         args += [k_scale, v_scale]
         specs += [ps, ps]
@@ -233,15 +247,19 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
 
     def inner(*a):
         q_, kp, vp, bt, ln = a[:5]
-        ks = vs = None
         i = 5
+        qp = None
+        if windowed:
+            qp = a[i]
+            i += 1
+        ks = vs = None
         if quant:
-            ks, vs = a[5], a[6]
-            i = 7
+            ks, vs = a[i], a[i + 1]
+            i += 2
         ly = a[i] if stacked else None
         return _paged_prefix_attention(
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
-            k_scale=ks, v_scale=vs, layer=ly)
+            k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp)
 
     return jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
                          out_specs=(qs, qs, qs), check_vma=False)(*args)
@@ -251,8 +269,12 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
 def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                             scale: float, interpret: bool = False,
                             window=None, k_scale=None, v_scale=None,
-                            layer=None):
+                            layer=None, qpos_lens=None):
     """Single-device kernel invocation.
+
+    qpos_lens: true query positions for the sliding-window bound (the
+    lookahead buffer puts the query `count` tokens past the in-cache
+    prefix); defaults to prefix_lens.
 
     q: [B, R, D] where R = NH for decode or T*G row-flattened queries for
     chunked prefill (every row attends the whole prefix — valid because
@@ -295,6 +317,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                 break
 
     flat_bt = block_tables.reshape(-1)
+    if window is not None and qpos_lens is None:
+        qpos_lens = prefix_lens
 
     def page_index_j(j):
         def index(bi, qi, ii, *pref):
@@ -302,13 +326,15 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             # skips the duplicate fetch (same index => no new DMA); with a
             # sliding window also clamp below-window steps to the first
             # in-window page
-            bt, kl = pref[-2], pref[-1]
+            o = 1 if stacked else 0
+            bt, kl = pref[o], pref[o + 1]
             bseq = bi * S + j
             kv_len = kl[bseq]
             last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
             ii = jnp.minimum(ii, last)
             if window is not None:
-                first = jnp.maximum((kv_len - window + 1) // bs, 0)
+                qp = pref[o + 2][bseq]
+                first = jnp.maximum((qp - window + 1) // bs, 0)
                 ii = jnp.maximum(ii, first)
             page = (bt[bseq * mb + ii], 0, 0, 0)
             return (pref[0][0],) + page if stacked else page
@@ -344,6 +370,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         operands += [v_scale] * S
 
     prefetch = [flat_bt, prefix_lens]
+    if window is not None:
+        prefetch.append(jnp.asarray(qpos_lens, jnp.int32))
     if stacked:
         prefetch.insert(0, jnp.asarray(layer, jnp.int32).reshape(1))
 
@@ -419,16 +447,20 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
     dequantize inside the kernel (per-(page, head, token) scales).
     layer: index into STACKED pages (see paged_prefix_attention).
     pending: lookahead-buffer tokens from earlier steps of a fused
-    multi-step call (see _merge_pending).
+    multi-step call (see _merge_pending) — with a sliding window the
+    query's TRUE position (prefix + count) drives the window bound.
     """
     b, nh, d = q.shape
     nkv = k_new.shape[1]
     g = nh // nkv
+    qpos = None
+    if window is not None and pending is not None:
+        qpos = prefix_lens + pending[2]
     acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
                                        prefix_lens, scale,
                                        interpret=interpret, window=window,
                                        k_scale=k_scale, v_scale=v_scale,
-                                       layer=layer)
+                                       layer=layer, qpos_lens=qpos)
     qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
     accr = acc.reshape(b, nkv, g, d)
     mr = m.reshape(b, nkv, g, 1)
@@ -584,9 +616,12 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
         # buffer rows j < count are earlier tokens of this fused call
         valid |= (pos >= ctx) & (pos < ctx + count)
     if window is not None:
-        # query position = prefix_lens (+count); self/pending keys are
-        # always in-window
-        valid &= ((pos > prefix_lens[:, None] - window) | (pos >= ctx))
+        # the query's TRUE position is prefix + count (the lookahead
+        # buffer); self/pending keys are always in-window
+        qpos = prefix_lens
+        if pending is not None:
+            qpos = prefix_lens + pending[2]
+        valid &= ((pos > qpos[:, None] - window) | (pos >= ctx))
     s = jnp.where(valid[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))
