@@ -394,3 +394,28 @@ def test_decode_context_bucketing_equivalence(tiny):
         return [o.output_token_ids for o in eng.generate(prompts, sp)]
 
     assert run(512) == run(64)
+
+
+def test_decode_width_bucketing_equivalence(tiny):
+    """A near-empty big-batch engine (2 active of max_num_seqs=32,
+    compacted to an 8-wide decode) produces the same greedy outputs as a
+    small-batch engine."""
+    import numpy as np
+    cfg, params, _ = tiny
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (6, 12)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    def run(b):
+        eng = LLMEngine(EngineConfig(
+            model="t", dtype="float32", block_size=8, max_num_seqs=b,
+            max_model_len=64, num_kv_blocks=150,
+            enable_prefix_caching=False, decode_steps_per_call=2),
+            model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    assert run(32) == run(2)

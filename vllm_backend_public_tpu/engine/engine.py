@@ -258,8 +258,8 @@ class LLMEngine:
         buf_dtype = self.econfig.jnp_dtype()
 
         def one_decode(params, cache, counts, tokens, kv_lens,
-                       block_tables, active, samp, steps, greedy_only,
-                       pending=None):
+                       block_tables, active, samp, steps, rows,
+                       greedy_only, pending=None):
             # positions of the new tokens == current kv_lens; attention sees
             # the cached prefix (+ the pending lookahead buffer) + the new
             # token (deferred write)
@@ -276,11 +276,14 @@ class LLMEngine:
                 kv_news = None
                 hidden, cache = fwd(params, cfg, tokens[:, None], attn,
                                     cache, attn_impl=impl)
-            logits = logits_fn(params, hidden[:, 0])  # [B, V] fp32
+            logits = logits_fn(params, hidden[:, 0])  # [W, V] fp32
             if greedy_only:
                 toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
-                logits = apply_penalties(logits, counts, samp["presence"],
+                # counts stays slot-indexed [max_num_seqs, V]; gather the
+                # compacted rows for penalties
+                logits = apply_penalties(logits, counts[rows],
+                                         samp["presence"],
                                          samp["frequency"],
                                          samp["repetition"])
                 toks = sample(logits, seeds=samp["seeds"], steps=steps,
@@ -288,8 +291,7 @@ class LLMEngine:
                               top_k=samp["top_k"], top_p=samp["top_p"],
                               min_p=samp["min_p"])
             toks = jnp.where(active, toks, 0)
-            counts = counts.at[jnp.arange(B), toks].add(
-                active.astype(jnp.int32))
+            counts = counts.at[rows, toks].add(active.astype(jnp.int32))
             inc = active.astype(jnp.int32)
             return (toks, cache, counts, kv_lens + inc, steps + inc,
                     logits, kv_news)
@@ -297,8 +299,14 @@ class LLMEngine:
         TOPLP = 5  # OpenAI-style top-logprobs width
 
         def decode_multi(params, cache, counts, tokens, kv_lens,
-                         block_tables, active, samp, greedy_only, k_steps,
-                         want_logprobs, mb_bucket=None):
+                         block_tables, active, samp, rows, greedy_only,
+                         k_steps, want_logprobs, mb_bucket=None):
+            # rows [W]: slot index of each compacted batch row (decode
+            # width bucketing — W = pow2 >= active count, so one active
+            # request doesn't pay max_num_seqs-wide attention+sampling).
+            # counts stays [max_num_seqs, V] (device-resident, donated);
+            # the program gathers/scatters it by rows.
+            W = tokens.shape[0]
             # k_steps fused decode iterations per dispatch: one host
             # round-trip streams k_steps tokens per sequence.
             # mb_bucket: static context bucket — the attention kernel's
@@ -310,7 +318,7 @@ class LLMEngine:
             if mb_bucket is not None and mb_bucket < block_tables.shape[1]:
                 block_tables = block_tables[:, :mb_bucket]
             pp_n = self.econfig.pipeline_parallel_size
-            if pp_n > 1 and greedy_only and not want_logprobs and B >= pp_n:
+            if pp_n > 1 and greedy_only and not want_logprobs and W >= pp_n:
                 # steady-state pipelined decode: the (step, microbatch)
                 # stream keeps the stage ring full across all K steps
                 # (utilization ~K*M/(K*M+S-1) instead of M/(M+S-1) per
@@ -322,20 +330,20 @@ class LLMEngine:
                     active, self.mesh, self.family, k_steps,
                     self.econfig.pipeline_microbatches)
                 toks_buf = jnp.where(active[None, :], toks_buf, 0)
-                rows = jnp.tile(jnp.arange(B, dtype=jnp.int32), k_steps)
-                counts = counts.at[rows, toks_buf.reshape(-1)].add(
+                rws = jnp.tile(rows, k_steps)
+                counts = counts.at[rws, toks_buf.reshape(-1)].add(
                     jnp.tile(active.astype(jnp.int32), k_steps))
                 steps = samp["steps"] + k_steps * active.astype(jnp.int32)
                 return (toks_buf, cache, counts, kv_lens, steps, None)
-            toks_buf = jnp.zeros((k_steps, B), jnp.int32)
-            lp_buf = jnp.zeros((k_steps, B), jnp.float32)
-            tv_buf = jnp.zeros((k_steps, B, TOPLP), jnp.float32)
-            ti_buf = jnp.zeros((k_steps, B, TOPLP), jnp.int32)
+            toks_buf = jnp.zeros((k_steps, W), jnp.int32)
+            lp_buf = jnp.zeros((k_steps, W), jnp.float32)
+            tv_buf = jnp.zeros((k_steps, W, TOPLP), jnp.float32)
+            ti_buf = jnp.zeros((k_steps, W, TOPLP), jnp.int32)
             steps = samp["steps"]
             kv_lens0 = kv_lens
             if use_pending:
-                k_bufs = jnp.zeros((L, k_steps, B, nkv, hd), buf_dtype)
-                v_bufs = jnp.zeros((L, k_steps, B, nkv, hd), buf_dtype)
+                k_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
+                v_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
             else:
                 k_bufs = v_bufs = jnp.zeros((), buf_dtype)
 
@@ -350,7 +358,7 @@ class LLMEngine:
                  kv_news) = one_decode(
                     params, cache if use_pending else cache_c, counts,
                     tokens, kv_lens, block_tables,
-                    active, samp, steps, greedy_only, pending)
+                    active, samp, steps, rows, greedy_only, pending)
                 if not use_pending:
                     cache_c = new_cache
                 if use_pending:
@@ -390,7 +398,7 @@ class LLMEngine:
                     block_tables=block_tables, kv_lens=kv_lens,
                     positions=wpos,
                     write_mask=jnp.broadcast_to(active[:, None],
-                                                (B, k_steps)))
+                                                (W, k_steps)))
                 cache = write_kv_all_layers(
                     cache, k_bufs.transpose(0, 2, 1, 3, 4),
                     v_bufs.transpose(0, 2, 1, 3, 4), wattn)
@@ -572,12 +580,32 @@ class LLMEngine:
         active_slots = [s for s in range(self._B) if self._active[s]]
         greedy = all(self._samp["temperature"][s] == 0.0
                      for s in active_slots)
+        # decode width bucket: compact active slots into a pow2-wide
+        # batch (min 8) so one active request doesn't pay a
+        # max_num_seqs-wide decode step; padding rows reuse slot 0 with
+        # active=False (writes dropped, samples ignored). Pipeline
+        # parallelism keeps the full width (microbatches split the
+        # whole batch).
+        W = 8
+        n = max(len(active_slots), 1)
+        while W < n:
+            W *= 2
+        W = min(W, self._B)
+        if self.econfig.pipeline_parallel_size > 1:
+            W = self._B
+        rows = np.asarray((active_slots + [0] * W)[:W], np.int32)
+        act = np.zeros((W,), bool)
+        act[:min(len(active_slots), W)] = True
         self._dev = {
-            "tokens": jnp.asarray(self._last),
-            "kv_lens": jnp.asarray(self._kv_lens),
-            "bt": jnp.asarray(self._bt),
-            "active": jnp.asarray(self._active),
-            "samp": {k: jnp.asarray(v) for k, v in self._samp.items()},
+            "rows": rows,
+            "row_of": {int(s): i for i, s in enumerate(rows)
+                       if act[i]},
+            "tokens": jnp.asarray(self._last[rows]),
+            "kv_lens": jnp.asarray(self._kv_lens[rows]),
+            "bt": jnp.asarray(self._bt[rows]),
+            "active": jnp.asarray(act),
+            "samp": {k: jnp.asarray(v[rows])
+                     for k, v in self._samp.items()},
             "greedy": greedy,
         }
 
@@ -611,7 +639,7 @@ class LLMEngine:
          lp_bufs) = self._decode_fn(
             self.params, self.cache, self._counts,
             dev["tokens"], dev["kv_lens"], dev["bt"],
-            dev["active"], dev["samp"],
+            dev["active"], dev["samp"], jnp.asarray(dev["rows"]),
             greedy_only=dev["greedy"], k_steps=K, want_logprobs=want_lp,
             mb_bucket=mbk)
         # device state advances in place; host mirrors track it
@@ -622,21 +650,23 @@ class LLMEngine:
         lp_host = (jax.device_get(lp_bufs) if want_lp else None)
 
         outputs = []
+        row_of = dev["row_of"]
         for req in plan.requests:
             s = req.slot
+            r = row_of[s]
             self._kv_lens[s] += K
-            self._last[s] = int(toks_host[K - 1, s])
+            self._last[s] = int(toks_host[K - 1, r])
             self._samp["steps"][s] += K
             if want_lp and req.sampling.logprobs is not None:
                 lp, tv, ti = lp_host
                 for i in range(K):
                     req.logprob_data.append({
-                        "logprob": float(lp[i, s]),
+                        "logprob": float(lp[i, r]),
                         "top": list(zip(
-                            [int(t) for t in ti[i, s]],
-                            [float(v) for v in tv[i, s]]))})
+                            [int(t) for t in ti[i, r]],
+                            [float(v) for v in tv[i, r]]))})
             outputs.append(self._apply_decode_tokens(
-                req, [int(t) for t in toks_host[:, s]]))
+                req, [int(t) for t in toks_host[:, r]]))
         return outputs
 
     def _apply_decode_tokens(self, req: Request,
