@@ -185,3 +185,57 @@ def test_quantized_mixtral_dense_vs_grouped_forward():
     finally:
         mx.set_moe_impl("grouped")
     np.testing.assert_allclose(grouped, dense, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------- expert-parallel grouped
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 1), (1, 2, 2), (2, 2, 2)])
+def test_grouped_ep_matches_dense_on_mesh(eight_cpu_devices, mesh_shape):
+    """moe_mlp_grouped_sharded under an expert(-and-model)-sharded mesh ==
+    single-device dense. Round-2 gap closed: the engine used to force
+    dense expert compute under any expert mesh (every token x every local
+    expert); the sharded grouped path computes only routed assignments."""
+    from vllm_backend_public_tpu.parallel.mesh import make_mesh
+
+    dp, ep, tp = mesh_shape
+    mesh = make_mesh(tensor_parallel=tp, data_parallel=dp,
+                     expert_parallel=ep)
+    rng = np.random.default_rng(7)
+    cfg = tiny_cfg(e=4, k=2, hidden=128, inter=256)
+    params = mx.init_random_params(cfg, jax.random.PRNGKey(5),
+                                   dtype=jnp.float32)
+    lyr = slice_layer(params)
+    x = jnp.asarray(rng.normal(size=(2, 5, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+    ref = moe.moe_mlp_dense(x, lyr["router"], lyr["we_gate"], lyr["we_up"],
+                            lyr["we_down"], cfg.experts_per_token)
+    out = moe.moe_mlp_grouped_sharded(
+        x, lyr["router"], lyr["we_gate"], lyr["we_up"], lyr["we_down"],
+        cfg.experts_per_token, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["int8", "w8a8"])
+def test_grouped_ep_quantized_matches_dense(eight_cpu_devices, kind):
+    from vllm_backend_public_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tensor_parallel=2, expert_parallel=2)
+    rng = np.random.default_rng(8)
+    cfg = tiny_cfg(e=4, k=2, hidden=128, inter=256)
+    params = quantize_params(
+        mx.init_random_params(cfg, jax.random.PRNGKey(6),
+                              dtype=jnp.float32), kind)
+    lyr = slice_layer(params)
+    x = jnp.asarray(rng.normal(size=(1, 8, cfg.hidden_size)) * 0.3,
+                    jnp.float32)
+    ref = moe.moe_mlp_dense(x, lyr["router"], lyr["we_gate"], lyr["we_up"],
+                            lyr["we_down"], cfg.experts_per_token)
+    out = moe.moe_mlp_grouped_sharded(
+        x, lyr["router"], lyr["we_gate"], lyr["we_up"], lyr["we_down"],
+        cfg.experts_per_token, mesh)
+    # w8a8 quantizes activation rows over the LOCAL contraction width in
+    # the sharded path (per-shard amax) — small extra noise vs dense
+    tol = 3e-2 if kind == "w8a8" else 2e-3
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=tol, atol=tol)

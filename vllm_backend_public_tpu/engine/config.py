@@ -57,6 +57,16 @@ class EngineConfig:
     # continuous batching, reference models.py:9). 0 = legacy
     # prefill-first behavior.
     max_consecutive_prefills: int = 2
+    # prompts packed into ONE prefill program (pow2-padded row count).
+    # Batching amortizes the program's full weight read + dispatch over
+    # several prompts; the token budget is still max_num_batched_tokens.
+    max_prefill_seqs: int = 8
+    # decode steps fused per dispatch WHILE prompts are waiting: a full
+    # decode_steps_per_call fusion (e.g. 32 x 17.7 ms) holds the device
+    # for half a second before the next prefill can run — the other half
+    # of round 2's 11.4 s TTFT p50. Smaller fusions interleave tighter;
+    # steady state (no waiting work) keeps the full fusion.
+    mixed_decode_steps: int = 4
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
 

@@ -50,6 +50,13 @@ class LLMEngine:
                                            dtype=econfig.jnp_dtype())
             if econfig.quantization:
                 from ..ops.quant import quantize_params
+                if econfig.quantization == "int4":
+                    logger.warning(
+                        "int4 with round-to-nearest calibration only: "
+                        "expect a large ppl hit. Pre-calibrate the "
+                        "checkpoint with ops/awq.py:awq_quantize_llama "
+                        "(activation-aware scales + weighted clip) to "
+                        "stay near the accuracy budget.")
                 params = quantize_params(params, econfig.quantization)
         assert model_cfg is not None
         self.model_cfg = model_cfg
@@ -116,11 +123,21 @@ class LLMEngine:
                 set_active_mesh(None)
                 self.attn_impl = "xla"
             if model_cfg.arch == "mixtral":
-                # grouped MoE dispatch indexes the global token buffer;
-                # under an expert-sharded mesh the dense path is the EP
-                # layout (local experts + psum from the sharding)
                 from ..models.mixtral import set_moe_impl
-                set_moe_impl("dense")
+                if pp == 1:
+                    # expert-parallel grouped dispatch: shard_map over
+                    # ("expert", "model") — each shard computes only the
+                    # assignments routed to its local experts
+                    # (ops/moe.py:moe_mlp_grouped_sharded)
+                    set_moe_impl("grouped_ep", self.mesh)
+                else:
+                    # the pipelined forward already shard_maps over
+                    # "pipe"; nesting the MoE shard_map inside it is not
+                    # supported — dense + GSPMD psum is the PP fallback
+                    logger.warning(
+                        "pipeline parallelism: MoE falls back to dense "
+                        "expert compute (all experts per token)")
+                    set_moe_impl("dense")
 
         num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
         if self.mesh is not None:
@@ -430,30 +447,37 @@ class LLMEngine:
 
         def prefill_step(params, cache, tokens, positions, block_tables,
                          kv_len, write_mask, last_idx):
+            # tokens/positions/write_mask: [NP, bucket] — NP prompt chunks
+            # share one program (and one weight read); last_idx [NP] picks
+            # each row's final real token for its logits
             attn = AttnInputs(
                 block_tables=block_tables, kv_lens=kv_len,
                 positions=positions, write_mask=write_mask)
             hidden, cache = fwd(params, cfg, tokens, attn, cache,
                                 attn_impl=impl)
-            last_h = jax.lax.dynamic_index_in_dim(hidden[0], last_idx, axis=0,
-                                                  keepdims=False)
+            last_h = jnp.take_along_axis(
+                hidden, last_idx[:, None, None], axis=1)[:, 0]  # [NP, H]
             return logits_fn(params, last_h), cache
 
         self._prefill_fn = jax.jit(prefill_step, donate_argnums=(1,),
                                    out_shardings=(None, cache_fmt))
 
-        def first_token(counts, logits, slot, samp_row):
-            counts = counts.at[slot].set(0)
-            tok = sample(
-                logits[None, :], seeds=samp_row["seeds"][None],
-                steps=samp_row["steps"][None],
-                temperature=samp_row["temperature"][None],
-                top_k=samp_row["top_k"][None], top_p=samp_row["top_p"][None],
-                min_p=samp_row["min_p"][None])[0]
-            counts = counts.at[slot, tok].add(1)
-            return tok, counts
+        def first_tokens(counts, logits, slots, samp_rows, mask):
+            # logits [NP, V]; mask [NP] — rows whose prompt completed this
+            # chunk (mid-prompt/padding rows sample nothing). Masked rows
+            # index slot B => dropped scatter.
+            slots_eff = jnp.where(mask, slots, counts.shape[0])
+            counts = counts.at[slots_eff].set(0, mode="drop")
+            toks = sample(
+                logits, seeds=samp_rows["seeds"], steps=samp_rows["steps"],
+                temperature=samp_rows["temperature"],
+                top_k=samp_rows["top_k"], top_p=samp_rows["top_p"],
+                min_p=samp_rows["min_p"])
+            toks = jnp.where(mask, toks, 0)
+            counts = counts.at[slots_eff, toks].add(1, mode="drop")
+            return toks, counts
 
-        self._first_token_fn = jax.jit(first_token, donate_argnums=(0,))
+        self._first_tokens_fn = jax.jit(first_tokens, donate_argnums=(0,))
 
     # ------------------------------------------------------------- admission
 
@@ -486,9 +510,7 @@ class LLMEngine:
         t0 = time.perf_counter()
         if plan.prefill is not None:
             self.metrics["num_prefill_steps"] += 1
-            out = self._run_prefill(plan.prefill)
-            if out is not None:
-                outputs.append(out)
+            outputs.extend(self._run_prefill(plan.prefill))
             self._ema("prefill_step_ms_ema", (time.perf_counter() - t0) * 1e3)
         elif plan.decode is not None:
             self.metrics["num_decode_steps"] += 1
@@ -511,70 +533,99 @@ class LLMEngine:
                 self._bt_len[s] = 0
                 self._dev = None
 
-    def _run_prefill(self, plan) -> Optional[RequestOutput]:
-        req, start, length, bucket = (plan.request, plan.start, plan.length,
-                                      plan.bucket)
-        e = self.econfig
-        tokens = np.zeros((1, bucket), dtype=np.int32)
-        chunk = req.prompt_token_ids[start:start + length]
-        tokens[0, :length] = chunk
-        positions = (start + np.arange(bucket, dtype=np.int32))[None, :]
-        bt = np.zeros((1, self._MB), dtype=np.int32)
-        bt[0, :len(req.block_ids)] = req.block_ids
-        write_mask = (np.arange(bucket) < length)[None, :]
-        kv_len = np.array([start + length], dtype=np.int32)
+    def _run_prefill(self, plan) -> List[RequestOutput]:
+        reqs, bucket = plan.requests, plan.bucket
+        n = len(reqs)
+        NP = 1
+        while NP < n:
+            NP *= 2
+        tokens = np.zeros((NP, bucket), dtype=np.int32)
+        positions = np.zeros((NP, bucket), dtype=np.int32)
+        bt = np.zeros((NP, self._MB), dtype=np.int32)
+        write_mask = np.zeros((NP, bucket), dtype=bool)
+        kv_len = np.zeros((NP,), dtype=np.int32)
+        last_idx = np.zeros((NP,), dtype=np.int32)
+        for i, (req, start, length) in enumerate(
+                zip(reqs, plan.starts, plan.lengths)):
+            tokens[i, :length] = req.prompt_token_ids[start:start + length]
+            positions[i] = start + np.arange(bucket, dtype=np.int32)
+            bt[i, :len(req.block_ids)] = req.block_ids
+            write_mask[i, :length] = True
+            kv_len[i] = start + length
+            last_idx[i] = length - 1
 
         logits, self.cache = self._prefill_fn(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(positions), jnp.asarray(bt), jnp.asarray(kv_len),
-            jnp.asarray(write_mask), length - 1)
+            jnp.asarray(write_mask), jnp.asarray(last_idx))
 
-        self.scheduler.on_prefill_progress(req, length)
-        if not req.prefill_done:
-            return None
+        finishing: List[int] = []
+        for i, req in enumerate(reqs):
+            self.scheduler.on_prefill_progress(req, plan.lengths[i])
+            if req.prefill_done:
+                finishing.append(i)
+        if not finishing:
+            return []
 
-        # final chunk: sample the first generated token
-        slot = req.slot
-        assert slot is not None
-        s = req.sampling
-        self._samp["seeds"][slot] = (s.seed if s.seed is not None
-                                     else (hash(req.request_id) & 0x7FFFFFFF))
-        self._samp["steps"][slot] = 0
-        self._samp["temperature"][slot] = s.temperature
-        self._samp["top_k"][slot] = s.top_k
-        self._samp["top_p"][slot] = s.top_p
-        self._samp["min_p"][slot] = s.min_p
-        self._samp["presence"][slot] = s.presence_penalty
-        self._samp["frequency"][slot] = s.frequency_penalty
-        self._samp["repetition"][slot] = s.repetition_penalty
+        # final chunks: sample each row's first generated token (one
+        # batched sampler call for the whole program)
+        for i in finishing:
+            req = reqs[i]
+            slot = req.slot
+            assert slot is not None
+            s = req.sampling
+            self._samp["seeds"][slot] = (
+                s.seed if s.seed is not None
+                else (hash(req.request_id) & 0x7FFFFFFF))
+            self._samp["steps"][slot] = 0
+            self._samp["temperature"][slot] = s.temperature
+            self._samp["top_k"][slot] = s.top_k
+            self._samp["top_p"][slot] = s.top_p
+            self._samp["min_p"][slot] = s.min_p
+            self._samp["presence"][slot] = s.presence_penalty
+            self._samp["frequency"][slot] = s.frequency_penalty
+            self._samp["repetition"][slot] = s.repetition_penalty
 
-        samp_row = {k: jnp.asarray(v[slot]) for k, v in self._samp.items()}
-        tok, self._counts = self._first_token_fn(
-            self._counts, logits, slot, samp_row)
-        tok = int(tok)
-        req.first_token_time = time.monotonic()
-        self._samp["steps"][slot] = 1
-        req.output_token_ids.append(tok)
-        if s.logprobs is not None:
-            from .sampling import top_logprobs
-            lp, tv, ti = jax.jit(top_logprobs, static_argnums=2)(
-                logits[None], jnp.asarray([tok], jnp.int32), 5)
-            req.logprob_data.append({
-                "logprob": float(lp[0]),
-                "top": list(zip([int(t) for t in np.asarray(ti[0])],
-                                [float(v) for v in np.asarray(tv[0])]))})
-        self.metrics["generated_tokens"] += 1
+        mask = np.zeros((NP,), dtype=bool)
+        slots_full = np.zeros((NP,), dtype=np.int32)
+        for i in finishing:
+            mask[i] = True
+            slots_full[i] = reqs[i].slot
+        samp_rows = {k: jnp.asarray(v[slots_full])
+                     for k, v in self._samp.items()}
+        toks, self._counts = self._first_tokens_fn(
+            self._counts, logits, jnp.asarray(slots_full), samp_rows,
+            jnp.asarray(mask))
+        toks_host = np.asarray(toks)
 
-        self._slot_req[slot] = req
-        self._active[slot] = True
-        self._bt[slot, :] = 0
-        self._bt[slot, :len(req.block_ids)] = req.block_ids
-        self._bt_len[slot] = len(req.block_ids)
-        self._kv_lens[slot] = req.num_prompt_tokens
-        self._last[slot] = tok
+        outputs: List[RequestOutput] = []
+        now = time.monotonic()
+        for i in finishing:
+            req = reqs[i]
+            slot = req.slot
+            tok = int(toks_host[i])
+            req.first_token_time = now
+            self._samp["steps"][slot] = 1
+            req.output_token_ids.append(tok)
+            if req.sampling.logprobs is not None:
+                from .sampling import top_logprobs
+                lp, tv, ti = jax.jit(top_logprobs, static_argnums=2)(
+                    logits[i][None], jnp.asarray([tok], jnp.int32), 5)
+                req.logprob_data.append({
+                    "logprob": float(lp[0]),
+                    "top": list(zip([int(t) for t in np.asarray(ti[0])],
+                                    [float(v) for v in np.asarray(tv[0])]))})
+            self.metrics["generated_tokens"] += 1
+            self._slot_req[slot] = req
+            self._active[slot] = True
+            self._bt[slot, :] = 0
+            self._bt[slot, :len(req.block_ids)] = req.block_ids
+            self._bt_len[slot] = len(req.block_ids)
+            self._kv_lens[slot] = req.num_prompt_tokens
+            self._last[slot] = tok
+            outputs.append(self._emit(req, [tok]))
         self._dev = None
-
-        return self._emit(req, [tok])
+        return outputs
 
     def _upload_dev_state(self) -> None:
         active_slots = [s for s in range(self._B) if self._active[s]]
@@ -623,6 +674,12 @@ class LLMEngine:
         dev = self._dev
 
         K = self.econfig.decode_steps_per_call
+        if self.scheduler.num_waiting and self.econfig.max_consecutive_prefills:
+            # prompts are queued: a full K-step fusion would hold the
+            # device for K x step_ms before the next prefill gets a turn
+            # (round 2: 32 x 17.7 ms = 566 ms TTFT stalls); shorten the
+            # fusion while mixing, return to full fusion at steady state
+            K = max(min(K, self.econfig.mixed_decode_steps), 1)
         want_lp = any(r.sampling.logprobs is not None
                       for r in plan.requests)
         # context bucket: pow2 block-table width covering every active

@@ -31,10 +31,30 @@ from .request import Request, RequestStatus
 
 @dataclass
 class PrefillPlan:
-    request: Request
-    start: int       # first prompt position in this chunk
-    length: int      # real tokens this chunk
-    bucket: int      # padded length
+    """One prefill PROGRAM: a batch of prompt chunks, one row per request,
+    all padded to the same `bucket` length. Batching prompts into one
+    program amortizes the per-program weight read and dispatch — 64
+    concurrent arrivals used to serialize 64 single-row programs, the
+    direct cause of the 11.4 s TTFT p50 measured in round 2.
+    """
+    requests: List[Request]
+    starts: List[int]    # first prompt position of each chunk
+    lengths: List[int]   # real tokens in each chunk
+    bucket: int          # shared padded length
+
+    # single-request accessors (row 0) for callers written against the
+    # round-1 one-chunk-per-step plan shape
+    @property
+    def request(self) -> Request:
+        return self.requests[0]
+
+    @property
+    def start(self) -> int:
+        return self.starts[0]
+
+    @property
+    def length(self) -> int:
+        return self.lengths[0]
 
 
 @dataclass
@@ -109,8 +129,7 @@ class Scheduler:
                           and self._consec_prefills >= limit)
         if (prefill_ok and self.waiting
                 and len(self.running) < self.cfg.max_num_seqs):
-            req = self.waiting[0]
-            plan = self._plan_prefill_chunk(req, out)
+            plan = self._plan_prefill_batch(out)
             if plan is not None:
                 out.prefill = plan
                 self._consec_prefills += 1
@@ -161,23 +180,55 @@ class Scheduler:
             self.allocator.prefix_insert(req.all_token_ids[:nb_full * bs],
                                          req.block_ids[:nb_full])
 
-    def _plan_prefill_chunk(self, req: Request,
-                            out: SchedulerOutput) -> Optional[PrefillPlan]:
-        self._try_prefix_cache(req)
-        start = req.num_computed_tokens
-        remaining = req.num_prompt_tokens - start
-        length = min(remaining, self.cfg.max_num_batched_tokens)
-        bucket = self._bucket_for(length)
-        # blocks needed to hold start+length tokens (+1 lookahead for the
-        # first decode token so prefill-complete can sample immediately)
-        end = start + length
-        need_tokens = end + (1 if end == req.num_prompt_tokens else 0)
-        need_blocks = -(-need_tokens // self.cfg.block_size) - len(req.block_ids)
-        if need_blocks > 0:
-            if not self._reclaim(need_blocks, victim_exempt=req, out=out):
-                return None
-            req.block_ids.extend(self.allocator.allocate(need_blocks))
-        return PrefillPlan(request=req, start=start, length=length, bucket=bucket)
+    def _plan_prefill_batch(self, out: SchedulerOutput) -> Optional[PrefillPlan]:
+        """Pack waiting prompts (priority order) into ONE prefill program.
+
+        Budget rules:
+        - sum of real chunk lengths <= max_num_batched_tokens (the per-STEP
+          prefill token budget, vLLM --max-num-batched-tokens semantics);
+        - at most max_prefill_seqs rows (pow2-padded: each distinct row
+          count is a compiled program variant);
+        - every row needs a decode slot available for when its prompt
+          completes;
+        - preemption (block reclaim) is attempted only for the FIRST row —
+          growing the batch never evicts running work.
+        """
+        budget = self.cfg.max_num_batched_tokens
+        sel: List[Request] = []
+        starts: List[int] = []
+        lengths: List[int] = []
+        free_slots = len(self._free_slots)
+        for req in list(self.waiting):
+            if len(sel) >= min(self.cfg.max_prefill_seqs, free_slots):
+                break
+            if budget <= 0:
+                break
+            self._try_prefix_cache(req)
+            start = req.num_computed_tokens
+            length = min(req.num_prompt_tokens - start, budget)
+            # blocks to hold start+length tokens (+1 lookahead for the
+            # first decode token so prefill-complete can sample at once)
+            end = start + length
+            need_tokens = end + (1 if end == req.num_prompt_tokens else 0)
+            need_blocks = (-(-need_tokens // self.cfg.block_size)
+                           - len(req.block_ids))
+            if need_blocks > 0:
+                if need_blocks > self.allocator.num_free:
+                    if sel or not self._reclaim(need_blocks,
+                                                victim_exempt=req, out=out):
+                        if sel:
+                            break
+                        return None
+                req.block_ids.extend(self.allocator.allocate(need_blocks))
+            sel.append(req)
+            starts.append(start)
+            lengths.append(length)
+            budget -= length
+        if not sel:
+            return None
+        bucket = self._bucket_for(max(lengths))
+        return PrefillPlan(requests=sel, starts=starts, lengths=lengths,
+                           bucket=bucket)
 
     def _recycle_window_blocks(self, req: Request) -> None:
         """Sliding-window models: free whole pages that have fallen out of

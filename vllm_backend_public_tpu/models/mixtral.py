@@ -25,22 +25,26 @@ import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
 from ..ops.linear import LayerView, matmul
-from ..ops.moe import moe_mlp_dense, moe_mlp_grouped
+from ..ops.moe import moe_mlp_dense, moe_mlp_grouped, moe_mlp_grouped_sharded
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
 
-# "grouped" computes only routed experts; "dense" computes all experts
-# (required under an expert-sharded mesh — dispatch indices are global).
-# The engine overrides this via set_moe_impl when it builds a mesh.
+# "grouped" computes only routed experts; "grouped_ep" is the mesh form
+# (shard_map over ("expert", "model"): each shard computes only the
+# assignments routed to its local experts — ops/moe.py
+# moe_mlp_grouped_sharded); "dense" computes all experts. The engine
+# selects the impl (and mesh) when it builds one.
 MOE_IMPL_DEFAULT = os.environ.get("VBPT_MOE_IMPL", "grouped")
 MOE_IMPL = MOE_IMPL_DEFAULT
+MOE_MESH = None
 
 
-def set_moe_impl(impl: str) -> None:
-    global MOE_IMPL
-    if impl not in ("grouped", "dense"):
+def set_moe_impl(impl: str, mesh=None) -> None:
+    global MOE_IMPL, MOE_MESH
+    if impl not in ("grouped", "grouped_ep", "dense"):
         raise ValueError(impl)
     MOE_IMPL = impl
+    MOE_MESH = mesh
 
 # Attention projections go zero-copy (LayerView -> stacked Pallas kernels).
 # The expert weights stay scan-sliced: their consumers are XLA einsums,
@@ -51,6 +55,10 @@ _BIG_WEIGHTS = ("wq", "wk", "wv", "wo")
 
 def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
     """x: [B, T, H] -> [B, T, H] via top-k routed experts."""
+    if MOE_IMPL == "grouped_ep":
+        return moe_mlp_grouped_sharded(
+            x, layer["router"], layer["we_gate"], layer["we_up"],
+            layer["we_down"], cfg.experts_per_token, MOE_MESH)
     fn = moe_mlp_grouped if MOE_IMPL == "grouped" else moe_mlp_dense
     return fn(x, layer["router"], layer["we_gate"], layer["we_up"],
               layer["we_down"], cfg.experts_per_token)
