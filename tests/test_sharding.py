@@ -152,3 +152,82 @@ def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
     pp_ss = run(pipeline_parallel_size=2, pipeline_microbatches=2,
                 decode_steps_per_call=3)
     assert pp_ss == ref
+
+
+def test_engine_pp_kernel_path_matches_single(eight_cpu_devices):
+    """Pipeline parallelism KEEPS the Pallas attention kernel (round-2
+    gap: PP forced the XLA gather path): each stage runs the kernel on
+    its layer-local pool slice, and the TP self-wrap nests inside the
+    pipe-manual region (pp2 and pp2 x tp2, interpret mode)."""
+    from fixtures import tiny_llama_jax
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+    from vllm_backend_public_tpu.ops import attention as att
+
+    cfg, params, _ = tiny_llama_jax(num_kv_heads=4, num_layers=4,
+                                    hidden=512)  # head_dim 128 for kernel
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (5, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="t", dtype="float32", block_size=8, max_num_seqs=2,
+                  max_model_len=64, num_kv_blocks=32,
+                  enable_prefix_caching=False)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    ref = run()
+    att.set_interpret(True)
+    try:
+        pp = run(pipeline_parallel_size=2, pipeline_microbatches=2,
+                 attn_impl="pallas")
+        assert pp == ref
+        pptp = run(pipeline_parallel_size=2, tensor_parallel_size=2,
+                   attn_impl="pallas")
+        assert pptp == ref
+    finally:
+        att.set_interpret(False)
+
+
+def test_engine_pp_sampled_steady_state(eight_cpu_devices, monkeypatch):
+    """Sampled (temperature>0, penalties) decode rides the SAME
+    steady-state pipelined ring as greedy (round-2 gap: any sampled
+    request dropped PP to per-step fill/drain), and matches the
+    single-device engine's sampled tokens exactly (same seeds/steps)."""
+    from fixtures import tiny_llama_jax
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+    from vllm_backend_public_tpu.parallel import pipeline as pl
+
+    cfg, params, _ = tiny_llama_jax(num_kv_heads=4, num_layers=4)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (5, 11)]
+    sp = SamplingParams(max_tokens=6, temperature=0.8, top_k=12, seed=7,
+                        repetition_penalty=1.2, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="t", dtype="float32", block_size=8, max_num_seqs=2,
+                  max_model_len=64, num_kv_blocks=32,
+                  enable_prefix_caching=False, decode_steps_per_call=3)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [o.output_token_ids for o in eng.generate(prompts, sp)]
+
+    ref = run()
+
+    calls = {"steady": 0}
+    orig = pl.pipelined_decode
+
+    def spy(*a, **kw):
+        calls["steady"] += 1
+        assert kw.get("samp") is not None, "sampled run must carry samp"
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pipelined_decode", spy)
+    pp = run(pipeline_parallel_size=2, pipeline_microbatches=2)
+    assert calls["steady"] > 0, "sampled decode did not use the ring"
+    assert pp == ref

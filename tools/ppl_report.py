@@ -69,7 +69,7 @@ def main():
         dtype=jnp.float32)
 
     report = ppl_delta_report(params, cfg, tokens,
-                              ["int8", "fp8", "w8a8", "int4"],
+                              ["int8", "fp8", "w8a8", "int4", "int4_awq"],
                               seq_len=args.seq_len, max_seqs=args.seqs)
     base = perplexity(params, cfg, tokens, seq_len=args.seq_len,
                       max_seqs=args.seqs, kv_dtype=jnp.float32)

@@ -96,7 +96,13 @@ def ppl_delta_report(params, cfg: ModelConfig, tokens: Sequence[int],
     base = perplexity(params, cfg, tokens, seq_len, max_seqs)
     out = {"dense": {"ppl": base}}
     for kind in kinds:
-        qp = quantize_params(params, kind)
+        if kind == "int4_awq":
+            # activation-aware calibration on the same corpus (AWQ scale
+            # fold + weighted clip + GPTQ compensation, ops/awq.py)
+            from ..ops.awq import awq_quantize_llama
+            qp = awq_quantize_llama(params, cfg, tokens)
+        else:
+            qp = quantize_params(params, kind)
         p = perplexity(qp, cfg, tokens, seq_len, max_seqs)
         out[kind] = {"ppl": p, "delta": p - base}
     return out

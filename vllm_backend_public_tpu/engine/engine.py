@@ -111,17 +111,32 @@ class LLMEngine:
             # GSPMD and measured faster than the Pallas kernels anyway
             # (ops/linear.py MATMUL_IMPL); Pallas attention stays ON for
             # TP/EP meshes via a shard_map self-wrap (each shard runs the
-            # kernel on its kv heads — ops/attention.py). With in-program
-            # DP or PP the pool/block-table locality assumption breaks,
-            # so those fall back to XLA gather attention.
+            # kernel on its kv heads — ops/attention.py), and under PP
+            # too: each stage's pool slice is layer-local, so the kernel
+            # runs per stage (the TP self-wrap nests inside the
+            # pipe-manual region; equivalence tests cover pp2, pp2xtp2).
+            # Only in-program DP truly breaks the kernel's locality
+            # assumption: the pool shards over "data" on the block axis
+            # while block ids are global, so a sequence's pages can live
+            # on another data shard — that mode falls back to XLA gather
+            # attention, LOUDLY. Production DP is DP-as-replicas behind
+            # server/router.py; the in-program axis exists for mesh
+            # composition validation (dryrun) and small-scale tests.
             from ..ops.linear import set_kernels_enabled
             from ..parallel.mesh import set_active_mesh
             set_kernels_enabled(False)
-            if econfig.data_parallel_size == 1 and pp == 1:
-                set_active_mesh(self.mesh)
+            if econfig.data_parallel_size == 1:
+                set_active_mesh(
+                    self.mesh if econfig.tensor_parallel_size > 1 else None)
             else:
                 set_active_mesh(None)
                 self.attn_impl = "xla"
+                logger.warning(
+                    "in-program data_parallel_size=%d: paged-attention "
+                    "falls back to the XLA gather path (block-table "
+                    "locality is per-replica). Use DP-as-replicas "
+                    "(server/router.py) for production data parallelism.",
+                    econfig.data_parallel_size)
             if model_cfg.arch == "mixtral":
                 from ..models.mixtral import set_moe_impl
                 if pp == 1:
@@ -335,17 +350,20 @@ class LLMEngine:
             if mb_bucket is not None and mb_bucket < block_tables.shape[1]:
                 block_tables = block_tables[:, :mb_bucket]
             pp_n = self.econfig.pipeline_parallel_size
-            if pp_n > 1 and greedy_only and not want_logprobs and W >= pp_n:
+            if pp_n > 1 and not want_logprobs and W >= pp_n:
                 # steady-state pipelined decode: the (step, microbatch)
                 # stream keeps the stage ring full across all K steps
                 # (utilization ~K*M/(K*M+S-1) instead of M/(M+S-1) per
-                # step) — greedy only; sampling/penalties/logprobs fall
-                # back to the per-step fill/drain path below
-                from ..parallel.pipeline import pipelined_decode_greedy
-                toks_buf, cache, kv_lens = pipelined_decode_greedy(
+                # step). Sampling state (seeds/steps/penalty counts)
+                # rides the ring too — only logprobs requests fall back
+                # to the per-step fill/drain path below.
+                from ..parallel.pipeline import pipelined_decode
+                toks_buf, cache, kv_lens = pipelined_decode(
                     params, cfg, cache, tokens, kv_lens, block_tables,
                     active, self.mesh, self.family, k_steps,
-                    self.econfig.pipeline_microbatches)
+                    self.econfig.pipeline_microbatches, attn_impl=impl,
+                    samp=None if greedy_only else samp,
+                    counts=None if greedy_only else counts[rows])
                 toks_buf = jnp.where(active[None, :], toks_buf, 0)
                 rws = jnp.tile(rows, k_steps)
                 counts = counts.at[rws, toks_buf.reshape(-1)].add(
@@ -574,9 +592,13 @@ class LLMEngine:
             slot = req.slot
             assert slot is not None
             s = req.sampling
+            # crc32, NOT hash(): str hashing is salted per process, which
+            # would diverge sampling seeds across hosts running the same
+            # SPMD schedule (multi-host decode must be deterministic)
+            import zlib
             self._samp["seeds"][slot] = (
                 s.seed if s.seed is not None
-                else (hash(req.request_id) & 0x7FFFFFFF))
+                else (zlib.crc32(req.request_id.encode()) & 0x7FFFFFFF))
             self._samp["steps"][slot] = 0
             self._samp["temperature"][slot] = s.temperature
             self._samp["top_k"][slot] = s.top_k

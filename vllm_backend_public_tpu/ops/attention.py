@@ -261,7 +261,20 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
             k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp)
 
-    return jax.shard_map(inner, mesh=mesh, in_specs=tuple(specs),
+    # nested inside another shard_map (pipeline parallelism's pipe-manual
+    # region): the inner wrap must be built against the CONTEXT abstract
+    # mesh, whose "pipe" axis is already Manual — passing the concrete
+    # all-Auto mesh raises a mesh-mismatch error
+    mesh_arg = mesh
+    try:
+        ctx = jax.sharding.get_abstract_mesh()
+        if (ctx is not None and not ctx.empty
+                and any(t == jax.sharding.AxisType.Manual
+                        for t in ctx.axis_types)):
+            mesh_arg = ctx
+    except Exception:
+        pass
+    return jax.shard_map(inner, mesh=mesh_arg, in_specs=tuple(specs),
                          out_specs=(qs, qs, qs), check_vma=False)(*args)
 
 

@@ -139,7 +139,7 @@ def pipelined_forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
         spmd, mesh=mesh,
         in_specs=(P("pipe"), P("pipe"), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P("pipe")),
-        axis_names={"pipe"},
+        axis_names={"pipe"}, check_vma=False,
     )(layers, cache, rest, tokens_mb, bt_mb, kl_mb, pos_mb, wm_mb)
 
     hidden = hidden_mb.reshape(B, T, -1)
@@ -147,14 +147,15 @@ def pipelined_forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     return hidden, cache
 
 
-def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
-                            tokens: jax.Array, kv_lens: jax.Array,
-                            block_tables: jax.Array, active: jax.Array,
-                            mesh, family, k_steps: int,
-                            num_microbatches: int = 0,
-                            attn_impl: str = "xla"):
-    """STEADY-STATE pipelined greedy decode: K fused steps with the ring
-    kept full ACROSS steps.
+def pipelined_decode(params, cfg: ModelConfig, cache: KVCache,
+                     tokens: jax.Array, kv_lens: jax.Array,
+                     block_tables: jax.Array, active: jax.Array,
+                     mesh, family, k_steps: int,
+                     num_microbatches: int = 0,
+                     attn_impl: str = "xla",
+                     samp=None, counts=None):
+    """STEADY-STATE pipelined decode: K fused steps with the ring kept
+    full ACROSS steps.
 
     The per-step fill/drain schedule (pipelined_forward_hidden) caps
     stage utilization at M/(M+S-1) because the ring drains between
@@ -166,9 +167,14 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
     from the last stage in S-1 < M ticks — so for M >= S the ring never
     drains and utilization approaches K*M/(K*M + S - 1).
 
-    Greedy-only (argmax at the last stage): the engine falls back to the
-    fill/drain path when sampling/penalties/logprobs are requested.
-    Returns (toks [K, B], cache, new_kv_lens).
+    samp/counts carry the full sampling state through the ring (round-2
+    gap: sampled requests used to drop PP to per-step fill/drain):
+    samp = dict of [B] arrays (seeds, steps, temperature, top_k, top_p,
+    min_p, presence, frequency, repetition), counts = [B, V] output-token
+    counts for penalties; each microbatch's counts copy advances on the
+    last stage between its own steps. None => greedy argmax. Logprobs
+    still use the fill/drain path. Returns (toks [K, B], cache,
+    new_kv_lens).
     """
     S = num_stages(mesh)
     B = tokens.shape[0]
@@ -191,13 +197,21 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
     kv_mb = split(kv_lens, 0)
     bt_mb = split(block_tables, 1)
     act_mb = split(active, 0)
+    sampled = samp is not None
+    if sampled:
+        samp_mb = {k: split(v, 0) for k, v in samp.items()}
+        cnt_mb = split(counts, 1)      # [M, Bm, V]
+    else:
+        samp_mb = {}
+        cnt_mb = jnp.zeros((M, Bm, 1), jnp.int32)
 
     layers = params["layers"]
     rest = {k: v for k, v in params.items() if k != "layers"}
     ring = [(i, (i + 1) % S) for i in range(S)]
     back = [(S - 1, 0)]
 
-    def spmd(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb):
+    def spmd(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb, samp_mb,
+             cnt_mb):
         stage = jax.lax.axis_index("pipe")
         hdim = cfg.hidden_size
         dtype = rest["embed"].dtype
@@ -206,7 +220,7 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
             return jax.lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
 
         def body(t, carry):
-            tok_cur, buf, out, cache = carry
+            tok_cur, buf, out, cache, cnt = carry
             g = t - stage
             valid = (g >= 0) & (g < K * M)
             gc = jnp.clip(g, 0, K * M - 1)
@@ -238,11 +252,29 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
             from ..models.common import write_kv_all_layers
             cache = write_kv_all_layers(cache, ys[0], ys[1], attn_m)
 
-            # last stage: greedy next token (lm_head runs on every stage
-            # — SPMD can't branch per stage; S-1 wasted [Bm, V] matmuls)
+            # last stage: next token (lm_head runs on every stage —
+            # SPMD can't branch per stage; S-1 wasted [Bm, V] matmuls)
             h = family.finalize_hidden(rest, cfg, x)
             logits = family.logits_from_hidden(rest, h[:, 0])
-            tok_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if sampled:
+                from ..engine.sampling import apply_penalties, sample
+                sm = {k: pick(v, m_idx) for k, v in samp_mb.items()}
+                cm = pick(cnt, m_idx)                  # [Bm, V]
+                lg = apply_penalties(logits, cm, sm["presence"],
+                                     sm["frequency"], sm["repetition"])
+                tok_next = sample(
+                    lg, seeds=sm["seeds"], steps=sm["steps"] + k_idx,
+                    temperature=sm["temperature"], top_k=sm["top_k"],
+                    top_p=sm["top_p"], min_p=sm["min_p"])
+                # this microbatch's counts advance before its next step
+                # reaches the sampler (M ticks later, same stage)
+                cm = cm.at[jnp.arange(Bm), tok_next].add(
+                    act.astype(cm.dtype))
+                cnt = jax.lax.dynamic_update_index_in_dim(
+                    cnt, cm, m_idx, 0)
+            else:
+                tok_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            tok_next = jnp.where(act, tok_next, 0)
 
             # token rides back to stage 0; activation rides forward
             tok_in = jax.lax.ppermute(tok_next, "pipe", back)
@@ -261,17 +293,17 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
                 tok_cur, new_tok, mp, 0)
             prev_out = out[kp, mp]
             out = out.at[kp, mp].set(jnp.where(validp, tok_in, prev_out))
-            return (tok_cur, buf, out, cache)
+            return (tok_cur, buf, out, cache, cnt)
 
         out0 = jnp.zeros((K, M, Bm), jnp.int32)
         buf0 = jnp.zeros((Bm, 1, hdim), dtype)
         # the loop body makes these carries vary across stages (each
         # stage sees different values) — mark the replicated initials as
         # varying over "pipe" so the scan carry types match
-        tok0, buf0, out0 = jax.lax.pcast(
-            (tok_mb, buf0, out0), ("pipe",), to="varying")
-        tok_cur, buf, out, cache = jax.lax.fori_loop(
-            0, total, body, (tok0, buf0, out0, cache))
+        tok0, buf0, out0, cnt0 = jax.lax.pcast(
+            (tok_mb, buf0, out0, cnt_mb), ("pipe",), to="varying")
+        tok_cur, buf, out, cache, cnt = jax.lax.fori_loop(
+            0, total, body, (tok0, buf0, out0, cache, cnt0))
         # outputs live on stage 0 only
         out = jax.lax.psum(
             jnp.where(stage == 0, out, jnp.zeros_like(out)), "pipe")
@@ -279,14 +311,23 @@ def pipelined_decode_greedy(params, cfg: ModelConfig, cache: KVCache,
 
     out_mb, cache = jax.shard_map(
         spmd, mesh=mesh,
-        in_specs=(P("pipe"), P("pipe"), P(), P(), P(), P(), P()),
+        in_specs=(P("pipe"), P("pipe"), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P("pipe")),
-        axis_names={"pipe"},
-    )(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb)
+        axis_names={"pipe"}, check_vma=False,
+    )(layers, cache, rest, tok_mb, kv_mb, bt_mb, act_mb, samp_mb, cnt_mb)
 
     toks = out_mb.reshape(K, B)
     new_kv_lens = kv_lens + active.astype(jnp.int32) * K
     return toks, cache, new_kv_lens
+
+
+# round-2 name: greedy-only entry point, kept for callers/tests
+def pipelined_decode_greedy(params, cfg, cache, tokens, kv_lens,
+                            block_tables, active, mesh, family, k_steps,
+                            num_microbatches=0, attn_impl="xla"):
+    return pipelined_decode(params, cfg, cache, tokens, kv_lens,
+                            block_tables, active, mesh, family, k_steps,
+                            num_microbatches, attn_impl)
 
 
 def make_forward_hidden(mesh, family, num_microbatches: int = 0):
