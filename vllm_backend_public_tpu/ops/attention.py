@@ -322,10 +322,16 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     # interleave (see _prefix_kernel), and the per-grid-step fixed cost
     # amortizes over S pages' worth of work. Decode only (nqt == 1;
     # chunked prefill's wide q tiles keep the VPU busy by themselves).
+    # Target ~512 KV tokens per grid step: measured on v5e (B=64, int8
+    # KV, us/layer) bs=128: S8 121.8 / S16 124.2; bs=256: S2 88.2,
+    # S4 89.8, S8 97.9, S1 94.3; ctx 1024 bs=256/S2 338.8 vs
+    # bs=128/S8 432.0 — fewer, fatter grid steps beat deeper
+    # interleave once the per-step DMA is big enough to hide issue cost.
     S = 1
     if nqt == 1:
+        want = min(_SEQ_INTERLEAVE_MAX, max(1, 512 // bs))
         for cand in (16, 8, 4, 2):
-            if cand <= _SEQ_INTERLEAVE_MAX and b % cand == 0:
+            if cand <= want and b % cand == 0:
                 S = cand
                 break
 
