@@ -222,3 +222,65 @@ def test_stacked_layer_prefix_attention_int8_kv():
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("count", [0, 1, 3])
+@pytest.mark.parametrize("quant", [False, True])
+def test_deferred_decode_pending_in_kernel(count, quant):
+    """Lookahead-buffer merge INSIDE the Pallas kernel (pending_kv +
+    finalize) == XLA reference. Covers count=0 (first fused step: every
+    pending slot masked — the kernel must guard against the finite
+    NEG_INF mask value becoming the running max)."""
+    from vllm_backend_public_tpu.models.common import quantize_kv
+
+    B, MB, BS, NB, nh, nkv, d, K = 4, 4, 16, 32, 8, 2, 64, 4
+    prefix = [7, BS * 2, BS * MB - 1 - K, 0]
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, prefix, seed=11)
+    key = jax.random.PRNGKey(42)
+    kb = jax.random.normal(key, (B, nkv, K, d), dtype=jnp.float32)
+    vb = jax.random.normal(jax.random.split(key)[0], (B, nkv, K, d),
+                           dtype=jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    ks = vs = None
+    if quant:
+        k_pages, ks = quantize_kv(k_pages)
+        v_pages, vs = quantize_kv(v_pages)
+    pending = (kb, vb, jnp.int32(count))
+
+    ref = decode_attention_deferred_xla(
+        q, k_new, v_new, k_pages, v_pages, bt, pl_, scale,
+        k_scale=ks, v_scale=vs, pending=pending)
+    out = decode_attention_deferred(
+        q, k_new, v_new, k_pages, v_pages, bt, pl_, scale,
+        interpret=True, k_scale=ks, v_scale=vs, pending=pending)
+    tol = 2e-2 if quant else 2e-5
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("count", [0, 2, 6])
+def test_deferred_decode_pending_window_in_kernel(count):
+    """Pending merge + sliding window: pending tokens below the window
+    are masked by their TRUE position (prefix + slot), in both the
+    kernel and the XLA reference."""
+    B, MB, BS, NB, nh, nkv, d, K = 2, 4, 16, 16, 4, 2, 64, 8
+    window = 5  # < count at count=6: some pending slots fall out
+    prefix = [20, 37]
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, prefix, seed=12)
+    key = jax.random.PRNGKey(7)
+    kb = jax.random.normal(key, (B, nkv, K, d), dtype=jnp.float32)
+    vb = jax.random.normal(jax.random.split(key)[0], (B, nkv, K, d),
+                           dtype=jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    pending = (kb, vb, jnp.int32(count))
+
+    ref = decode_attention_deferred_xla(
+        q, k_new, v_new, k_pages, v_pages, bt, pl_, scale,
+        window=window, pending=pending)
+    out = decode_attention_deferred(
+        q, k_new, v_new, k_pages, v_pages, bt, pl_, scale,
+        interpret=True, window=window, pending=pending)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -278,7 +278,7 @@ class LLMEngine:
         # Lookahead-buffer multi-step decode: the paged cache stays OUT of
         # the step loop's carry (a carried multi-GB cache buffer costs a
         # full device copy per iteration — measured 4.8 ms/step on
-        # Llama-3-8B int8 KV). New K/V go to a small [K, L, B, NKV, D]
+        # Llama-3-8B int8 KV). New K/V go to a small [L, B, NKV, K, D]
         # side buffer that attention folds in (`pending`); ONE scatter
         # writes all K steps after the loop. Sliding-window models ride
         # this path too — the attention kernel takes the TRUE query
@@ -377,13 +377,16 @@ class LLMEngine:
             steps = samp["steps"]
             kv_lens0 = kv_lens
             if use_pending:
-                # K-major layout: step i's write is ONE contiguous
-                # [L, W, NKV, D] slab. The former [L, K, ...] layout made
-                # XLA pick K second-minor, so each step's update scattered
-                # L*W*NKV strided 256 B chunks (~0.23 ms/buffer/step at
-                # 18 GB/s vs ~10 us contiguous — step_bisect.py round 3)
-                k_bufs = jnp.zeros((k_steps, L, W, nkv, hd), buf_dtype)
-                v_bufs = jnp.zeros((k_steps, L, W, nkv, hd), buf_dtype)
+                # [L, W, NKV, K, D]: page-shaped per (layer, sequence) so
+                # the attention kernel merges the buffer with its own page
+                # contractions (ops/attention.py pending_kv) and the
+                # end-of-call scatter reads pool-ordered (NKV, K, D) runs.
+                # Step i's write is strided (K second-minor) — that cost
+                # is layout-forced either way: round 3 measured XLA
+                # choosing K-second-minor even for a K-major logical
+                # buffer, to serve the then-XLA-side merge einsums.
+                k_bufs = jnp.zeros((L, W, nkv, k_steps, hd), buf_dtype)
+                v_bufs = jnp.zeros((L, W, nkv, k_steps, hd), buf_dtype)
             else:
                 k_bufs = v_bufs = jnp.zeros((), buf_dtype)
 
@@ -403,9 +406,9 @@ class LLMEngine:
                     cache_c = new_cache
                 if use_pending:
                     k_bufs = jax.lax.dynamic_update_index_in_dim(
-                        k_bufs, kv_news[0].astype(buf_dtype), i, axis=0)
+                        k_bufs, kv_news[0].astype(buf_dtype), i, axis=3)
                     v_bufs = jax.lax.dynamic_update_index_in_dim(
-                        v_bufs, kv_news[1].astype(buf_dtype), i, axis=0)
+                        v_bufs, kv_news[1].astype(buf_dtype), i, axis=3)
                 toks_buf = jax.lax.dynamic_update_index_in_dim(
                     toks_buf, toks, i, axis=0)
                 if want_logprobs:
@@ -440,8 +443,8 @@ class LLMEngine:
                     write_mask=jnp.broadcast_to(active[:, None],
                                                 (W, k_steps)))
                 cache = write_kv_all_layers(
-                    cache, k_bufs.transpose(1, 2, 0, 3, 4),
-                    v_bufs.transpose(1, 2, 0, 3, 4), wattn)
+                    cache, k_bufs.transpose(0, 1, 3, 2, 4),
+                    v_bufs.transpose(0, 1, 3, 2, 4), wattn)
             return (toks_buf, cache, counts, kv_lens, steps,
                     (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 

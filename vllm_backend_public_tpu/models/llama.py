@@ -59,8 +59,8 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
             pending = None
             if kv_pending is not None:
                 kb, vb, count = kv_pending
-                pending = (jax.lax.dynamic_index_in_dim(kb, li, 1, False),
-                           jax.lax.dynamic_index_in_dim(vb, li, 1, False),
+                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
+                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
                            count)
             h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
             a, _, k_new, v_new = attention_block(
@@ -102,7 +102,7 @@ def forward_hidden(params, cfg: ModelConfig, tokens: jax.Array,
     prefill uses write-then-gather inside the scan (see
     common.attention_block for why).
 
-    kv_pending: (k_buf [J, L, B, NKV, D], v_buf, count) — lookahead
+    kv_pending: (k_buf [L, B, NKV, J, D], v_buf, count) — lookahead
     buffer of tokens from earlier steps of a fused multi-step decode
     call that are NOT yet in the cache; attention folds them in.
     defer_out=True returns (hidden, (k_news, v_news)) with NO cache

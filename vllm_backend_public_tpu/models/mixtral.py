@@ -83,8 +83,8 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
             pending = None
             if kv_pending is not None:
                 kb, vb, count = kv_pending
-                pending = (jax.lax.dynamic_index_in_dim(kb, li, 1, False),
-                           jax.lax.dynamic_index_in_dim(vb, li, 1, False),
+                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
+                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
                            count)
             h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
             a, _, k_new, v_new = attention_block(

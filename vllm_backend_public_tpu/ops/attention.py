@@ -36,16 +36,17 @@ NEG_INF = -1e30
 # Sequence-interleave width for the decode kernel, read ONCE at import
 # (it is baked into the traced program, so changing it later has no
 # effect; reading it here makes that explicit and validates the value).
-# Values above 8 with bf16 KV at block_size 128 put the double-buffered
-# K+V page blocks near the 16MB VMEM scoped limit — prefer int8 KV or
-# block_size 64 before raising this.
+# Unset: chosen per block size (see _paged_prefix_attention). Set: used
+# as the exact width (subject to batch divisibility). Values above 8
+# with bf16 KV at block_size 128 put the double-buffered K+V page
+# blocks near the 16MB VMEM scoped limit — prefer int8 KV or block_size
+# 64 before raising this.
 import os as _os
 
 try:
-    _SEQ_INTERLEAVE_MAX = int(_os.environ.get("VBPT_ATTN_SEQ_INTERLEAVE",
-                                              "8"))
-except ValueError:
-    _SEQ_INTERLEAVE_MAX = 8
+    _SEQ_INTERLEAVE = int(_os.environ["VBPT_ATTN_SEQ_INTERLEAVE"])
+except (KeyError, ValueError):
+    _SEQ_INTERLEAVE = None
 
 # Run the Pallas kernels in interpreter mode (pure-JAX emulation) so the
 # kernel code paths — including the shard_map TP wrapping — are testable
@@ -60,7 +61,8 @@ def set_interpret(flag: bool) -> None:
 
 def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
-                   S: int = 1):
+                   S: int = 1, pending: bool = False, newkv: bool = False,
+                   finalize: bool = False):
     """Online-softmax over one page per grid step for S sequences at once.
 
     S > 1 exists to beat LATENCY, not throughput: one sequence's
@@ -69,15 +71,26 @@ def _prefix_kernel(*args, bs: int, scale: float,
     (measured: full kernel 257us/layer vs 80us DMA floor at S=1,
     batch 64 x 3 pages). S independent chains interleave in the
     compiler's schedule and amortize the per-grid-step fixed cost.
+
+    pending/newkv/finalize (decode only): the multi-step lookahead
+    buffer ([NKV, K, D] per sequence — page-shaped, so the same
+    contractions apply), the current token's own K/V, and the final
+    softmax normalization all fold into the LAST grid step. Round 2 did
+    this merge in XLA after the kernel: ~56 us/layer of skinny
+    [B, NKV, G, *] fusions plus seven layout copies that XLA pins around
+    the batched einsums (step_bisect.py round 3) — in-kernel the merge
+    reuses the page path's dot shapes and the epilogue disappears.
     """
     # operands: [li_ref if stacked], bt_ref, kl_ref, [qp_ref if window],
-    # then tensor refs. qp_ref carries the TRUE query positions: with the
-    # multi-step lookahead buffer the query sits `count` tokens past the
-    # in-cache prefix, so the window bound can't derive from kv_len.
+    # [cnt_ref if pending], then tensor refs. qp_ref carries the TRUE
+    # query positions: with the multi-step lookahead buffer the query
+    # sits `count` tokens past the in-cache prefix, so the window bound
+    # can't derive from kv_len.
     off = 1 if stacked else 0
-    pref = off + 2 + (1 if window is not None else 0)
+    pref = off + 2 + (1 if window is not None else 0) + (1 if pending else 0)
     bt_ref, kl_ref = args[off], args[off + 1]
     qp_ref = args[off + 2] if window is not None else kl_ref
+    cnt_ref = args[pref - 1] if pending else None
     refs = list(args[pref:])
     q_ref = refs[0]
     k_refs = refs[1:1 + S]
@@ -89,6 +102,12 @@ def _prefix_kernel(*args, bs: int, scale: float,
         idx += 2 * S
     else:
         ks_refs = vs_refs = [None] * S
+    if pending:
+        pk_ref, pv_ref = refs[idx:idx + 2]
+        idx += 2
+    if newkv:
+        kn_ref, vn_ref = refs[idx:idx + 2]
+        idx += 2
     o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs[idx:]
 
     bi = pl.program_id(0)
@@ -162,7 +181,60 @@ def _prefix_kernel(*args, bs: int, scale: float,
 
     @pl.when(i == mb - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)  # UNnormalized
+        for j in range(S):
+            if pending:
+                # guarded like the page path's `process`: with cnt == 0
+                # every score masks to the FINITE NEG_INF, m would land
+                # exactly there and exp(s - m) = 1 for every masked slot
+                @pl.when(cnt_ref[0] > 0)
+                def _(j=j):
+                    bseq = bi * S + j
+                    cnt = cnt_ref[0]
+                    q = q_ref[j].astype(jnp.float32)     # [NKV, G, D]
+                    kp = pk_ref[j].astype(jnp.float32)   # [NKV, K, D]
+                    vp = pv_ref[j].astype(jnp.float32)
+                    sp = jax.lax.dot_general(
+                        q, kp, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) * scale
+                    col = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2)
+                    keep = col < cnt
+                    if window is not None:
+                        # pending token c sits at position prefix + c;
+                        # the query is at qpos = prefix + cnt (always
+                        # leaves col = cnt-1 in-window, so the guard
+                        # above is sufficient)
+                        keep &= (col + kl_ref[bseq]) > (qp_ref[bseq]
+                                                        - window)
+                    sp = jnp.where(keep, sp, NEG_INF)
+                    m_prev = m_s[j]
+                    m_new = jnp.maximum(
+                        m_prev, jnp.max(sp, axis=2, keepdims=True))
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(sp - m_new)
+                    l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2,
+                                                      keepdims=True)
+                    acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
+                        p, vp, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    m_s[j] = m_new
+            if newkv:
+                q = q_ref[j].astype(jnp.float32)
+                kn = kn_ref[j].astype(jnp.float32)       # [NKV, D]
+                vn = vn_ref[j].astype(jnp.float32)
+                s1 = jnp.sum(q * kn[:, None, :], axis=2,
+                             keepdims=True) * scale      # [NKV, G, 1]
+                m_prev = m_s[j]
+                m_new = jnp.maximum(m_prev, s1)
+                alpha = jnp.exp(m_prev - m_new)
+                p1 = jnp.exp(s1 - m_new)
+                l_s[j] = l_s[j] * alpha + p1
+                acc_ref[j] = acc_ref[j] * alpha + p1 * vn[:, None, :]
+                m_s[j] = m_new
+        if finalize:
+            o_ref[:] = (acc_ref[:]
+                        / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
+        else:
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)  # UNnormalized
         m_ref[:] = m_s[:]
         l_ref[:] = l_s[:]
 
@@ -179,7 +251,8 @@ def _pick_qtile(rows: int) -> int:
 def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
                            window=None, k_scale=None, v_scale=None,
-                           layer=None, qpos_lens=None):
+                           layer=None, qpos_lens=None, pending_kv=None,
+                           count=None, new_kv=None, finalize=False):
     """Unnormalized flash attention over cached prefix pages (mesh-aware).
 
     Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
@@ -198,18 +271,24 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         return _paged_prefix_attention_sharded(
             q, k_pages, v_pages, block_tables, prefix_lens, scale, mesh,
             interpret=interpret, window=window, k_scale=k_scale,
-            v_scale=v_scale, layer=layer, qpos_lens=qpos_lens)
+            v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
+            pending_kv=pending_kv, count=count, new_kv=new_kv,
+            finalize=finalize)
     return _paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
-        v_scale=v_scale, layer=layer, qpos_lens=qpos_lens)
+        v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
+        pending_kv=pending_kv, count=count, new_kv=new_kv,
+        finalize=finalize)
 
 
 def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                                     prefix_lens, scale: float, mesh,
                                     interpret: bool = False, window=None,
                                     k_scale=None, v_scale=None, layer=None,
-                                    qpos_lens=None):
+                                    qpos_lens=None, pending_kv=None,
+                                    count=None, new_kv=None,
+                                    finalize=False):
     """shard_map TP/EP wrapping of the local kernel.
 
     Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
@@ -233,6 +312,8 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
     if windowed and qpos_lens is None:
         qpos_lens = prefix_lens
 
+    pending = pending_kv is not None
+    newkv = new_kv is not None
     args = [q, k_pages, v_pages, block_tables, prefix_lens]
     specs = [qs, pg, pg, P("data", None), P("data")]
     if windowed:
@@ -241,6 +322,15 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
     if quant:
         args += [k_scale, v_scale]
         specs += [ps, ps]
+    if pending:
+        # lookahead buffer [B, NKV, K, D]: rows over "data", kv heads
+        # over "model" like the page pool
+        args += [pending_kv[0], pending_kv[1],
+                 jnp.asarray(count, jnp.int32)]
+        specs += [P("data", "model", None, None)] * 2 + [P()]
+    if newkv:
+        args += [new_kv[0], new_kv[1]]
+        specs += [P("data", "model", None)] * 2
     if stacked:
         args.append(jnp.asarray(layer, jnp.int32))
         specs.append(P())
@@ -256,10 +346,19 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         if quant:
             ks, vs = a[i], a[i + 1]
             i += 2
+        pkv = cnt = nkv_ = None
+        if pending:
+            pkv = (a[i], a[i + 1])
+            cnt = a[i + 2]
+            i += 3
+        if newkv:
+            nkv_ = (a[i], a[i + 1])
+            i += 2
         ly = a[i] if stacked else None
         return _paged_prefix_attention(
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
-            k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp)
+            k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp,
+            pending_kv=pkv, count=cnt, new_kv=nkv_, finalize=finalize)
 
     # nested inside another shard_map (pipeline parallelism's pipe-manual
     # region): the inner wrap must be built against the CONTEXT abstract
@@ -278,11 +377,13 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                          out_specs=(qs, qs, qs), check_vma=False)(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window",
+                                             "finalize"))
 def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                             scale: float, interpret: bool = False,
                             window=None, k_scale=None, v_scale=None,
-                            layer=None, qpos_lens=None):
+                            layer=None, qpos_lens=None, pending_kv=None,
+                            count=None, new_kv=None, finalize=False):
     """Single-device kernel invocation.
 
     qpos_lens: true query positions for the sliding-window bound (the
@@ -322,15 +423,28 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     # interleave (see _prefix_kernel), and the per-grid-step fixed cost
     # amortizes over S pages' worth of work. Decode only (nqt == 1;
     # chunked prefill's wide q tiles keep the VPU busy by themselves).
-    # Target ~512 KV tokens per grid step: measured on v5e (B=64, int8
-    # KV, us/layer) bs=128: S8 121.8 / S16 124.2; bs=256: S2 88.2,
-    # S4 89.8, S8 97.9, S1 94.3; ctx 1024 bs=256/S2 338.8 vs
-    # bs=128/S8 432.0 — fewer, fatter grid steps beat deeper
-    # interleave once the per-step DMA is big enough to hide issue cost.
+    # Target ~2048 KV tokens per grid step with int8 pages (1024 bf16 —
+    # VMEM: S*bs*4KB of double-buffered K+V blocks must stay well under
+    # the 16MB scoped limit; S16 x bs256 int8 OOMs). Measured on v5e
+    # (llama8b w8a8 b64, full step): bs256 S8 16.98 ms, S4 17.15, S2
+    # 17.39; bs128 S16 17.67, S8 17.85. Wide interleave matters most for
+    # the in-kernel pending/new-token merges (serial per-sequence dot
+    # chains at the last grid step interleave across S sequences).
     S = 1
     if nqt == 1:
-        want = min(_SEQ_INTERLEAVE_MAX, max(1, 512 // bs))
-        for cand in (16, 8, 4, 2):
+        kv_bytes = 1 if k_pages.dtype == jnp.int8 else 2
+        if _SEQ_INTERLEAVE is not None:
+            want = _SEQ_INTERLEAVE
+        else:
+            want = max(1, 2048 // (bs * kv_bytes))
+            # VMEM guard: per-sequence block bytes — q (2B) + out + f32
+            # accumulator (4B each) on the qt rows, plus double-buffered
+            # K+V page blocks — against a ~10MB scoped budget (the 16MB
+            # limit minus scale/pending blocks and headroom)
+            per_seq = (10 * nkv * qt * d
+                       + 4 * nkv * bs * d * kv_bytes)
+            want = min(want, max(1, 10_000_000 // per_seq))
+        for cand in (32, 16, 8, 4, 2):
             if cand <= want and b % cand == 0:
                 S = cand
                 break
@@ -387,10 +501,33 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         in_specs += [pl.BlockSpec(ps_block, page_index_js(j))
                      for j in range(S)]
         operands += [v_scale] * S
+    pending = pending_kv is not None
+    newkv = new_kv is not None
+    if (pending or newkv or finalize) and nqt != 1:
+        raise ValueError("pending/new-token merge is decode-only (one "
+                         "query tile per sequence)")
+
+    def batch_index(bi, qi, ii, *pref):
+        return (bi, 0, 0, 0)
+
+    def batch_index3(bi, qi, ii, *pref):
+        return (bi, 0, 0)
+
+    if pending:
+        # lookahead buffer [B, NKV, K, D] — page-shaped per sequence, so
+        # the last grid step merges it with the page path's contractions
+        in_specs += [pl.BlockSpec((S,) + pending_kv[0].shape[1:],
+                                  batch_index)] * 2
+        operands += [pending_kv[0], pending_kv[1]]
+    if newkv:
+        in_specs += [pl.BlockSpec((S, nkv, d), batch_index3)] * 2
+        operands += [new_kv[0], new_kv[1]]
 
     prefetch = [flat_bt, prefix_lens]
     if window is not None:
         prefetch.append(jnp.asarray(qpos_lens, jnp.int32))
+    if pending:
+        prefetch.append(jnp.asarray(count, jnp.int32).reshape(1))
     if stacked:
         prefetch.insert(0, jnp.asarray(layer, jnp.int32).reshape(1))
 
@@ -412,7 +549,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
 
     acc, m, l = pl.pallas_call(
         functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
-                          quant=quant, stacked=stacked, S=S),
+                          quant=quant, stacked=stacked, S=S,
+                          pending=pending, newkv=newkv, finalize=finalize),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -426,74 +564,40 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))
 
 
-def _merge_pending(qf, accr, mr, lr, pending, scale):
-    """Fold not-yet-written tokens (multi-step decode lookahead buffer)
-    into the running online-softmax state.
-
-    pending: (k_buf [J, B, NKV, D], v_buf [J, B, NKV, D], count scalar) —
-    tokens generated by earlier steps of the SAME fused multi-step call;
-    they live in a side buffer instead of the paged cache so the cache
-    stays out of the step loop's carry (one scatter per K steps, not per
-    step — a carried multi-GB cache costs a full copy every iteration).
-    Rows j >= count are masked. All pending positions precede the current
-    token, so no causal test beyond the count is needed.
-    """
-    k_buf, v_buf, count = pending
-    kp = k_buf.astype(jnp.float32)
-    vp = v_buf.astype(jnp.float32)
-    # [B, NKV, G, J]
-    sp = jnp.einsum("bkgd,jbkd->bkgj", qf, kp) * scale
-    j_idx = jnp.arange(kp.shape[0], dtype=jnp.int32)
-    sp = jnp.where(j_idx[None, None, None, :] < count, sp, NEG_INF)
-    m_p = jnp.max(sp, axis=-1, keepdims=True)
-    m_tot = jnp.maximum(mr, m_p)
-    alpha = jnp.exp(mr - m_tot)
-    pp = jnp.exp(sp - m_tot)
-    l_tot = lr * alpha + jnp.sum(pp, axis=-1, keepdims=True)
-    acc_tot = accr * alpha + jnp.einsum("bkgj,jbkd->bkgd", pp, vp)
-    return acc_tot, m_tot, l_tot
-
-
 def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
                               block_tables, prefix_lens, scale: float,
                               interpret: bool = False,
                               k_scale=None, v_scale=None, window=None,
                               layer=None, pending=None):
-    """Full decode attention WITHOUT writing the cache: prefix pages via
-    the Pallas kernel + the new token's own KV merged in-register.
+    """Full decode attention WITHOUT writing the cache: prefix pages,
+    the lookahead buffer, the new token's own KV, and the softmax
+    normalization all inside ONE Pallas kernel call.
 
     q, k_new, v_new: [B, NH|NKV, D]. Returns [B, NH, D]. int8 KV pages
     dequantize inside the kernel (per-(page, head, token) scales).
     layer: index into STACKED pages (see paged_prefix_attention).
-    pending: lookahead-buffer tokens from earlier steps of a fused
-    multi-step call (see _merge_pending) — with a sliding window the
-    query's TRUE position (prefix + count) drives the window bound.
+    pending: (k_buf [B, NKV, K, D], v_buf, count) — lookahead-buffer
+    tokens from earlier steps of a fused multi-step call, page-shaped
+    per sequence so the kernel merges them with the page path's own
+    contractions. With a sliding window the query's TRUE position
+    (prefix + count) drives the window bound, and pending tokens below
+    the window are masked like any other key. Round 2 ran this merge in
+    XLA after the kernel — ~56 us/layer of skinny batched einsums and
+    layout copies per decode step (step_bisect.py round 3).
     """
     b, nh, d = q.shape
-    nkv = k_new.shape[1]
-    g = nh // nkv
     qpos = None
     if window is not None and pending is not None:
         qpos = prefix_lens + pending[2]
-    acc, m, l = paged_prefix_attention(q, k_pages, v_pages, block_tables,
-                                       prefix_lens, scale,
-                                       interpret=interpret, window=window,
-                                       k_scale=k_scale, v_scale=v_scale,
-                                       layer=layer, qpos_lens=qpos)
-    qf = q.astype(jnp.float32).reshape(b, nkv, g, d)
-    accr = acc.reshape(b, nkv, g, d)
-    mr = m.reshape(b, nkv, g, 1)
-    lr = l.reshape(b, nkv, g, 1)
+    pkv = cnt = None
     if pending is not None:
-        accr, mr, lr = _merge_pending(qf, accr, mr, lr, pending, scale)
-    kf = k_new.astype(jnp.float32)  # [B, NKV, D]
-    vf = v_new.astype(jnp.float32)
-    s1 = jnp.einsum("bkgd,bkd->bkg", qf, kf)[..., None] * scale  # [B,NKV,G,1]
-    m_tot = jnp.maximum(mr, s1)
-    alpha = jnp.exp(mr - m_tot)
-    p1 = jnp.exp(s1 - m_tot)
-    l_tot = lr * alpha + p1
-    out = (accr * alpha + p1 * vf[:, :, None, :]) / l_tot
+        pkv = (pending[0], pending[1])
+        cnt = pending[2]
+    out, _, _ = paged_prefix_attention(
+        q, k_pages, v_pages, block_tables, prefix_lens, scale,
+        interpret=interpret, window=window, k_scale=k_scale,
+        v_scale=v_scale, layer=layer, qpos_lens=qpos,
+        pending_kv=pkv, count=cnt, new_kv=(k_new, v_new), finalize=True)
     return out.reshape(b, nh, d).astype(q.dtype)
 
 
@@ -617,12 +721,10 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
     extra = 1
     if pending is not None:
         k_buf, v_buf, count = pending
-        j = k_buf.shape[0]
+        j = k_buf.shape[2]                                 # [B, NKV, J, D]
         extra += j
-        kp = k_buf.transpose(1, 2, 0, 3).astype(k.dtype)   # [B, NKV, J, D]
-        vp = v_buf.transpose(1, 2, 0, 3).astype(v.dtype)
-        k = jnp.concatenate([k, kp], axis=2)
-        v = jnp.concatenate([v, vp], axis=2)
+        k = jnp.concatenate([k, k_buf.astype(k.dtype)], axis=2)
+        v = jnp.concatenate([v, v_buf.astype(v.dtype)], axis=2)
     k = jnp.concatenate([k, k_new[:, :, None, :].astype(k.dtype)], axis=2)
     v = jnp.concatenate([v, v_new[:, :, None, :].astype(v.dtype)], axis=2)
     qg = q.reshape(b, nkv, g, d)
@@ -636,11 +738,16 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
         valid |= (pos >= ctx) & (pos < ctx + count)
     if window is not None:
         # the query's TRUE position is prefix + count (the lookahead
-        # buffer); self/pending keys are always in-window
+        # buffer). Every key is window-tested at its true position:
+        # cache col c sits at c, pending col c at prefix + (c - ctx),
+        # and the self key at qpos (always in-window).
         qpos = prefix_lens
         if pending is not None:
             qpos = prefix_lens + pending[2]
-        valid &= ((pos > qpos[:, None] - window) | (pos >= ctx))
+        true_pos = jnp.where(pos < ctx, pos,
+                             prefix_lens[:, None] + (pos - ctx))
+        true_pos = jnp.where(pos == self_col, qpos[:, None], true_pos)
+        valid &= true_pos > qpos[:, None] - window
     s = jnp.where(valid[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bkgc,bkcd->bkgd", p, v.astype(jnp.float32))
