@@ -30,3 +30,18 @@ def eight_cpu_devices():
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs
+
+
+@pytest.fixture(autouse=True)
+def _reset_process_globals():
+    """Engines built with TP/PP/EP set process-global state — the active
+    mesh (parallel/mesh.py) that self-wraps the attention kernel in
+    shard_map, and Mixtral's MoE impl + mesh (set_moe_impl). A test that
+    doesn't clear them leaks into the next test (e.g. single-device
+    Mixtral failing shard_map divisibility against a stale (1,2,2,2)
+    mesh from an earlier EP engine test)."""
+    yield
+    from vllm_backend_public_tpu.models import mixtral
+    from vllm_backend_public_tpu.parallel.mesh import set_active_mesh
+    set_active_mesh(None)
+    mixtral.set_moe_impl(mixtral.MOE_IMPL_DEFAULT)

@@ -320,6 +320,18 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
         prefix_lens = attn.positions[:, 0]
         if pending is not None:
             prefix_lens = prefix_lens - pending[2]
+        if (pending is not None and pending[0].ndim == 5
+                and not use_kernel):
+            # stacked [L, ...] buffer: the kernel layer-indexes it via
+            # scalar prefetch (zero-copy); the XLA fallback needs this
+            # layer's slice
+            assert layer_idx is not None
+            pending = (
+                jax.lax.dynamic_index_in_dim(pending[0], layer_idx, 0,
+                                             False),
+                jax.lax.dynamic_index_in_dim(pending[1], layer_idx, 0,
+                                             False),
+                pending[2])
         q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
         if use_kernel:
             out = decode_attention_deferred(

@@ -50,12 +50,11 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
             for k in _BIG_WEIGHTS:
                 if k in layers:
                     layer[k] = LayerView(layers[k], li)
-            pending = None
-            if kv_pending is not None:
-                kb, vb, count = kv_pending
-                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
-                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
-                           count)
+            # the stacked [L, ...] lookahead buffer passes through whole;
+            # attention layer-indexes it (kernel: scalar prefetch, XLA
+            # fallback: slices) — a per-layer slice here materializes a
+            # buffer-layer copy even on the kernel path
+            pending = kv_pending
             x, _, k_new, v_new = block(x, layer, cache_arrays, li,
                                        pending=pending)
             return x, (k_new, v_new)

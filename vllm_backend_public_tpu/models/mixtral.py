@@ -80,12 +80,11 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
             for k in _BIG_WEIGHTS:
                 if k in layers:
                     layer[k] = LayerView(layers[k], li)
-            pending = None
-            if kv_pending is not None:
-                kb, vb, count = kv_pending
-                pending = (jax.lax.dynamic_index_in_dim(kb, li, 0, False),
-                           jax.lax.dynamic_index_in_dim(vb, li, 0, False),
-                           count)
+            # the stacked [L, ...] lookahead buffer passes through whole;
+            # attention layer-indexes it (kernel: scalar prefetch, XLA
+            # fallback: slices) — a per-layer slice here materializes a
+            # buffer-layer copy even on the kernel path
+            pending = kv_pending
             h = rms_norm(x, layer["attn_norm"], cfg.rms_norm_eps)
             a, _, k_new, v_new = attention_block(
                 h, layer, cfg, attn, cache_arrays, cos, sin, attn_impl,

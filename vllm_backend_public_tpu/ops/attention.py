@@ -323,11 +323,14 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         args += [k_scale, v_scale]
         specs += [ps, ps]
     if pending:
-        # lookahead buffer [B, NKV, K, D]: rows over "data", kv heads
-        # over "model" like the page pool
+        # lookahead buffer [[L,] B, NKV, K, D]: rows over "data", kv
+        # heads over "model" like the page pool
+        pspec = (P(None, "data", "model", None, None)
+                 if pending_kv[0].ndim == 5
+                 else P("data", "model", None, None))
         args += [pending_kv[0], pending_kv[1],
                  jnp.asarray(count, jnp.int32)]
-        specs += [P("data", "model", None, None)] * 2 + [P()]
+        specs += [pspec] * 2 + [P()]
     if newkv:
         args += [new_kv[0], new_kv[1]]
         specs += [P("data", "model", None)] * 2
@@ -514,10 +517,24 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         return (bi, 0, 0)
 
     if pending:
-        # lookahead buffer [B, NKV, K, D] — page-shaped per sequence, so
-        # the last grid step merges it with the page path's contractions
-        in_specs += [pl.BlockSpec((S,) + pending_kv[0].shape[1:],
-                                  batch_index)] * 2
+        # lookahead buffer — page-shaped per sequence, so the last grid
+        # step merges it with the page path's contractions. A stacked
+        # [L, B, NKV, K, D] buffer is layer-indexed by the kernel like
+        # the stacked page pool (a per-layer dynamic_index_in_dim in the
+        # scan costs a 4MB materialized copy per buffer per layer —
+        # ~0.43 ms/step at llama8b b64, step_bisect.py round 3)
+        p_stacked = pending_kv[0].ndim == 5
+        if p_stacked and not stacked:
+            raise ValueError("stacked pending buffer needs `layer`")
+
+        def pend_index(bi, qi, ii, *pref):
+            if p_stacked:
+                return (pref[0][0], bi, 0, 0, 0)
+            return (bi, 0, 0, 0)
+
+        pend_block = ((None, S) + pending_kv[0].shape[2:] if p_stacked
+                      else (S,) + pending_kv[0].shape[1:])
+        in_specs += [pl.BlockSpec(pend_block, pend_index)] * 2
         operands += [pending_kv[0], pending_kv[1]]
     if newkv:
         in_specs += [pl.BlockSpec((S, nkv, d), batch_index3)] * 2
