@@ -219,3 +219,40 @@ def test_window_engine_multi_step_lookahead():
         return [o.output_token_ids for o in eng.generate(prompts, sp)]
 
     assert run(4) == run(1)
+
+
+@pytest.mark.parametrize("prefix_len", [0, 3, WINDOW + 9])
+def test_chunk_prefill_kernel_window(prefix_len):
+    """Windowed chunked prefill on the KERNEL path (per-row window
+    bounds, round-2 gap: window forced the XLA gather path) == the XLA
+    path. Rows early in the chunk have smaller windows than later rows;
+    pages the page-skip clamp keeps for late rows are fully masked for
+    early rows (the in-kernel p-remask guards that)."""
+    from vllm_backend_public_tpu.ops.attention import (
+        chunk_prefill_attention_deferred)
+
+    B, T, MB, BS, NB, nh, nkv, d = 2, 8, 6, 8, 32, 4, 2, 128
+    key = jax.random.PRNGKey(prefix_len)
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (B, T, nh, d), jnp.float32)
+    kc = jax.random.normal(ks[1], (B, T, nkv, d), jnp.float32)
+    vc = jax.random.normal(ks[2], (B, T, nkv, d), jnp.float32)
+    k_pages = jax.random.normal(ks[3], (NB, nkv, BS, d), jnp.float32)
+    v_pages = jax.random.normal(ks[4], (NB, nkv, BS, d), jnp.float32)
+    bt = jax.random.permutation(ks[5], jnp.arange(1, NB))[:B * MB]
+    bt = bt.reshape(B, MB).astype(jnp.int32)
+    prefix = jnp.asarray([prefix_len, max(prefix_len - 2, 0)], jnp.int32)
+    wmask = jnp.array([[True] * T, [True] * 5 + [False] * 3])
+    scale = 1.0 / np.sqrt(d)
+
+    ref = chunk_prefill_attention_deferred(
+        q, kc, vc, k_pages, v_pages, bt, prefix, wmask, scale,
+        interpret=True, use_kernel=False, window=WINDOW)
+    out = chunk_prefill_attention_deferred(
+        q, kc, vc, k_pages, v_pages, bt, prefix, wmask, scale,
+        interpret=True, use_kernel=True, window=WINDOW)
+    for b in range(2):
+        n = int(jnp.sum(wmask[b]))
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :n], np.asarray(ref)[b, :n],
+            rtol=3e-5, atol=3e-5, err_msg=f"b={b}")

@@ -62,7 +62,8 @@ def set_interpret(flag: bool) -> None:
 def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
                    S: int = 1, pending: bool = False, newkv: bool = False,
-                   finalize: bool = False):
+                   finalize: bool = False, group: int = 0,
+                   rowwise: bool = False):
     """Online-softmax over one page per grid step for S sequences at once.
 
     S > 1 exists to beat LATENCY, not throughput: one sequence's
@@ -111,6 +112,7 @@ def _prefix_kernel(*args, bs: int, scale: float,
     o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs[idx:]
 
     bi = pl.program_id(0)
+    qi = pl.program_id(1)
     i = pl.program_id(2)
     mb = pl.num_programs(2)
 
@@ -162,13 +164,27 @@ def _prefix_kernel(*args, bs: int, scale: float,
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             keep = col < valid
             if window is not None:
-                keep &= (col + i * bs) > (qpos - window)
+                if rowwise:
+                    # chunked prefill: q row r (within its kv head) sits
+                    # at position qpos + r // group, so the window bound
+                    # moves per row
+                    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    qrow = qpos + (qi * s.shape[1] + row) // group
+                    keep &= (col + i * bs) > (qrow - window)
+                else:
+                    keep &= (col + i * bs) > (qpos - window)
             s = jnp.where(keep, s, NEG_INF)
 
             m_prev = m_s[j]                            # [NKV, G, 1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
+            if rowwise:
+                # per-row windows can FULLY mask a processed page for
+                # early rows (the page-skip clamp is row-0-conservative):
+                # their running max lands exactly on the finite NEG_INF
+                # and exp(s - m) would be 1 for every masked slot
+                p = jnp.where(keep, p, 0.0)
             l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2, keepdims=True)
             if quant:
                 p = p * vs_ref[0][:, None, :]
@@ -252,7 +268,8 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            scale: float, interpret: bool = False,
                            window=None, k_scale=None, v_scale=None,
                            layer=None, qpos_lens=None, pending_kv=None,
-                           count=None, new_kv=None, finalize=False):
+                           count=None, new_kv=None, finalize=False,
+                           qpos_group=None):
     """Unnormalized flash attention over cached prefix pages (mesh-aware).
 
     Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
@@ -273,13 +290,13 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             interpret=interpret, window=window, k_scale=k_scale,
             v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
             pending_kv=pending_kv, count=count, new_kv=new_kv,
-            finalize=finalize)
+            finalize=finalize, qpos_group=qpos_group)
     return _paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
         v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
         pending_kv=pending_kv, count=count, new_kv=new_kv,
-        finalize=finalize)
+        finalize=finalize, qpos_group=qpos_group)
 
 
 def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
@@ -288,7 +305,7 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                                     k_scale=None, v_scale=None, layer=None,
                                     qpos_lens=None, pending_kv=None,
                                     count=None, new_kv=None,
-                                    finalize=False):
+                                    finalize=False, qpos_group=None):
     """shard_map TP/EP wrapping of the local kernel.
 
     Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
@@ -361,7 +378,8 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         return _paged_prefix_attention(
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
             k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp,
-            pending_kv=pkv, count=cnt, new_kv=nkv_, finalize=finalize)
+            pending_kv=pkv, count=cnt, new_kv=nkv_, finalize=finalize,
+            qpos_group=qpos_group)
 
     # nested inside another shard_map (pipeline parallelism's pipe-manual
     # region): the inner wrap must be built against the CONTEXT abstract
@@ -381,12 +399,13 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window",
-                                             "finalize"))
+                                             "finalize", "qpos_group"))
 def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                             scale: float, interpret: bool = False,
                             window=None, k_scale=None, v_scale=None,
                             layer=None, qpos_lens=None, pending_kv=None,
-                            count=None, new_kv=None, finalize=False):
+                            count=None, new_kv=None, finalize=False,
+                            qpos_group=None):
     """Single-device kernel invocation.
 
     qpos_lens: true query positions for the sliding-window bound (the
@@ -399,11 +418,15 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     (acc [B, R, D] f32, m [B, R, 1], l [B, R, 1]): softmax·V = acc/l at
     running max m. Rows with prefix_len == 0 return (0, -inf, 0).
 
-    window: Mistral-style sliding window, DECODE semantics only (every
-    query row at position prefix_len): keys valid iff
-    pos > prefix_len - window. Pages fully below the window are skipped
-    (remapped => no DMA). Chunked prefill with a window uses the XLA
-    path (chunk_prefill_attention_deferred use_kernel=False).
+    window: Mistral-style sliding window: keys valid iff
+    pos > qpos - window. Pages fully below the window are skipped
+    (remapped => no DMA). qpos_group (static) sets how many q rows share
+    one query position: decode's g rows all sit at prefix_len
+    (row // group == 0); chunked prefill passes its heads-per-kv-head
+    group so the T*G flattened rows advance one position per group —
+    the kernel then applies PER-ROW window bounds (and re-masks p,
+    since the row-0-conservative page-skip can leave pages fully
+    masked for early rows).
 
     Large R is tiled on a third grid axis (VMEM-bounded); pages are
     re-streamed per query tile.
@@ -564,10 +587,17 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         ],
     )
 
+    # q rows per query position: decode's g rows all share one position
+    # (row // group == 0); a chunked-prefill tile's T*G rows advance one
+    # position every `group` rows — the window bound is per-row there
+    group = qpos_group if qpos_group is not None else g
+    rowwise = window is not None and group != g
+
     acc, m, l = pl.pallas_call(
         functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
                           quant=quant, stacked=stacked, S=S,
-                          pending=pending, newkv=newkv, finalize=finalize),
+                          pending=pending, newkv=newkv, finalize=finalize,
+                          group=group, rowwise=rowwise),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -640,8 +670,6 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     b, t, nh, d = q.shape
     nkv = k_chunk.shape[2]
     g = nh // nkv
-    if window is not None:
-        use_kernel = False  # per-row window bounds not in the kernel yet
 
     # ---- prefix part: flatten (T, G) query rows per kv head ------------
     # [B, T, NKV, G, D] -> [B, NKV, T*G, D]
@@ -651,7 +679,7 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
         acc1, m1, l1 = paged_prefix_attention(
             qr, k_pages, v_pages, block_tables, prefix_lens, scale,
             interpret=interpret, layer=layer, k_scale=k_scale,
-            v_scale=v_scale)
+            v_scale=v_scale, window=window, qpos_group=g)
     else:
         from ..models.common import gather_pages
 
