@@ -151,8 +151,8 @@ def main():
     print("\n-- buckets (per call) --")
     for b, (us, cnt) in sorted(buckets.items(), key=lambda x: -x[1][0]):
         print(f"{us / n_calls / 1e3:9.3f} ms  x{cnt // n_calls:<5} {b}")
-    print("\n-- top 25 ops (per call) --")
-    for name, us, cnt in ops[:25]:
+    print("\n-- top 60 ops (per call) --")
+    for name, us, cnt in ops[:60]:
         print(f"{us / n_calls / 1e3:9.3f} ms  x{cnt // n_calls:<5} "
               f"{name[:110]}")
 

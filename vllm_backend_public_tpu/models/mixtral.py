@@ -32,16 +32,26 @@ from .common import (AttnInputs, KVCache, attention_block, rms_norm,
 # "grouped" computes only routed experts; "grouped_ep" is the mesh form
 # (shard_map over ("expert", "model"): each shard computes only the
 # assignments routed to its local experts — ops/moe.py
-# moe_mlp_grouped_sharded); "dense" computes all experts. The engine
-# selects the impl (and mesh) when it builds one.
-MOE_IMPL_DEFAULT = os.environ.get("VBPT_MOE_IMPL", "grouped")
+# moe_mlp_grouped_sharded); "dense" computes all experts; "auto" (the
+# default) picks per call site: DECODE-sized token counts go dense —
+# expert weights stream from HBM once either way, so the grouped path's
+# dispatch machinery (sort, scatter/gather, per-tile kernel steps) is
+# pure overhead when bandwidth-bound (measured on one v5e,
+# mixtral-arch L8 E8 top2 B16: dense 6.85 ms/step vs grouped 46.6 fp8 /
+# 8.1 int8) — while big prefill batches go grouped (compute-bound; the
+# top-k/E FLOP saving is real there). The engine selects the impl (and
+# mesh) when it builds one.
+MOE_IMPL_DEFAULT = os.environ.get("VBPT_MOE_IMPL", "auto")
 MOE_IMPL = MOE_IMPL_DEFAULT
 MOE_MESH = None
+
+# below this many tokens the expert pass is HBM-bound and dense wins
+_AUTO_DENSE_MAX_TOKENS = 512
 
 
 def set_moe_impl(impl: str, mesh=None) -> None:
     global MOE_IMPL, MOE_MESH
-    if impl not in ("grouped", "grouped_ep", "dense"):
+    if impl not in ("auto", "grouped", "grouped_ep", "dense"):
         raise ValueError(impl)
     MOE_IMPL = impl
     MOE_MESH = mesh
@@ -59,7 +69,19 @@ def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
         return moe_mlp_grouped_sharded(
             x, layer["router"], layer["we_gate"], layer["we_up"],
             layer["we_down"], cfg.experts_per_token, MOE_MESH)
-    fn = moe_mlp_grouped if MOE_IMPL == "grouped" else moe_mlp_dense
+    impl = MOE_IMPL
+    if impl == "auto":
+        from ..ops.linear import is_quantized
+        n_tok = x.shape[0] * x.shape[1]
+        gate = layer["we_gate"]
+        fp8 = is_quantized(gate) and gate.kind == "fp8"
+        # fp8 experts always go dense: the grouped path's fp8 handling
+        # is broken on real v5e inside the full engine program
+        # (runtime InvalidArgument; standalone + in-scan repros pass),
+        # and XLA's dense fused-convert path measured fastest anyway
+        impl = ("dense" if fp8 or n_tok <= _AUTO_DENSE_MAX_TOKENS
+                else "grouped")
+    fn = moe_mlp_grouped if impl == "grouped" else moe_mlp_dense
     return fn(x, layer["router"], layer["we_gate"], layer["we_up"],
               layer["we_down"], cfg.experts_per_token)
 

@@ -206,6 +206,14 @@ def grouped_matmul_xla(xg: jax.Array, w, group_rows: jax.Array) -> jax.Array:
 
 
 def _gmm_kernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, kind: str):
+    # s_ref holds ALL experts' scale rows for this n-tile ([E, tn]); the
+    # kernel dynamically selects its expert's row. A per-expert block —
+    # (1, tn), a squeezed dim, or a flat rank-1 [tn] view — either
+    # violates Mosaic's last-two-dims (8, 128)-divisible-or-full rule
+    # (E is small) or CRASHES the real-TPU compiler outright (rank-1
+    # blocks; exit-code-1 with no diagnostics). Only real-TPU lowering
+    # checks any of this — interpret mode accepted every form.
+    sc = s_ref[te_ref[pl.program_id(0)]]
     x = x_ref[...]
     if kind == "w8a8":
         xf = x.astype(jnp.float32)
@@ -214,13 +222,14 @@ def _gmm_kernel(te_ref, x_ref, w_ref, s_ref, o_ref, *, kind: str):
         x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
         y = jax.lax.dot(x8, w_ref[0],
                         preferred_element_type=jnp.int32)
-        o_ref[...] = (y.astype(jnp.float32) * sx * s_ref[0]
-                      ).astype(o_ref.dtype)
+        o_ref[...] = (y.astype(jnp.float32) * sx * sc).astype(o_ref.dtype)
         return
-    wt = w_ref[0].astype(jnp.float32)
-    y = jax.lax.dot(x.astype(jnp.float32), wt,
+    # bf16 feeds the MXU natively (f32 operands halve MXU rate and
+    # double VREG pressure); accumulate f32
+    wt = w_ref[0].astype(jnp.bfloat16)
+    y = jax.lax.dot(x.astype(jnp.bfloat16), wt,
                     preferred_element_type=jnp.float32)
-    o_ref[...] = (y * s_ref[0]).astype(o_ref.dtype)
+    o_ref[...] = (y * sc).astype(o_ref.dtype)
 
 
 def _gmm_tile_m(dtype) -> int:
@@ -241,7 +250,14 @@ def grouped_matmul(xg: jax.Array, w: QuantizedWeight,
     m, k = xg.shape
     e, _, n = w.q.shape
     tm = _gmm_tile_m(xg.dtype)
-    tn = 128 if n % 128 == 0 else n
+    # fat n-tiles: the per-(m-tile, n-tile) dot is latency-bound at
+    # decode's skinny m (16 rows), so fewer, wider steps win (512-col
+    # blocks stay ~1MB in VMEM at K=2048 int8). fp8 weight blocks wider
+    # than 256 lanes crash the TPU compiler (exit-code-1, bisected on
+    # v5e at (1, 5632, 512) float8_e4m3fn; int8 is fine at 512).
+    tn_cap = 256 if w.q.dtype == jnp.float8_e4m3fn else 512
+    tn = next((t for t in (512, 256, 128) if t <= tn_cap and n % t == 0),
+              n)
     grid = (m // tm, n // tn)
 
     out = pl.pallas_call(
@@ -252,7 +268,9 @@ def grouped_matmul(xg: jax.Array, w: QuantizedWeight,
             in_specs=[
                 pl.BlockSpec((tm, k), lambda i, j, te: (i, 0)),
                 pl.BlockSpec((1, k, tn), lambda i, j, te: (te[i], 0, j)),
-                pl.BlockSpec((1, tn), lambda i, j, te: (te[i], j)),
+                # all experts' scale rows for this n-tile; the kernel
+                # row-selects (see _gmm_kernel for why not (1, tn))
+                pl.BlockSpec((e, tn), lambda i, j, te: (0, j)),
             ],
             out_specs=pl.BlockSpec((tm, tn), lambda i, j, te: (i, j)),
         ),
@@ -267,7 +285,11 @@ def grouped_matmul(xg: jax.Array, w: QuantizedWeight,
 def _gmm_ok(w, n_tokens_axis_ok: bool = True) -> bool:
     if not is_quantized(w):
         return False
-    if w.kind not in ("int8", "fp8", "w8a8"):
+    # fp8 goes to XLA ragged_dot: in-kernel e4m3 conversion is
+    # VPU-emulated on v5e (measured 46.6 vs 8.1 ms/step int8 on the
+    # mixtral-arch bench) and fp8 weight blocks wider than 256 lanes
+    # crash the TPU compiler; XLA's fused convert handles fp8 well
+    if w.kind not in ("int8", "w8a8"):
         return False
     k, n = w.q.shape[-2:]
     return k % 128 == 0 and n % 128 == 0
