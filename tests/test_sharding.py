@@ -73,6 +73,7 @@ def test_engine_tensor_parallel_matches_single(eight_cpu_devices):
     assert tp_dp == ref
 
 
+@pytest.mark.slow
 def test_engine_tp_kernel_path_matches_single(eight_cpu_devices):
     """TP engine on the PALLAS kernel path (interpret mode) == unsharded
     XLA engine. Pins the shard_map self-wrap of paged_prefix_attention:
@@ -119,6 +120,7 @@ def test_engine_tp_kernel_path_matches_single(eight_cpu_devices):
     assert tp_ms == ref
 
 
+@pytest.mark.slow
 def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
     """Full engine with pipeline_parallel_size=2 (x TP=2) produces the
     same greedy outputs as the unsharded engine — stages split the layer
@@ -154,6 +156,7 @@ def test_engine_pipeline_parallel_matches_single(eight_cpu_devices):
     assert pp_ss == ref
 
 
+@pytest.mark.slow
 def test_engine_pp_kernel_path_matches_single(eight_cpu_devices):
     """Pipeline parallelism KEEPS the Pallas attention kernel (round-2
     gap: PP forced the XLA gather path): each stage runs the kernel on
@@ -192,6 +195,7 @@ def test_engine_pp_kernel_path_matches_single(eight_cpu_devices):
         att.set_interpret(False)
 
 
+@pytest.mark.slow
 def test_engine_pp_sampled_steady_state(eight_cpu_devices, monkeypatch):
     """Sampled (temperature>0, penalties) decode rides the SAME
     steady-state pipelined ring as greedy (round-2 gap: any sampled

@@ -114,6 +114,7 @@ def test_decode_kernel_window(prefix_len):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_window_engine_end_to_end():
     """Engine greedy generation honors the window: same as full attention
     while context < window, still correct (vs stepwise oracle) beyond."""
@@ -147,6 +148,7 @@ def test_window_engine_end_to_end():
     assert out == want
 
 
+@pytest.mark.slow
 def test_window_page_recycling():
     """Pages wholly below the window are freed back to the pool during
     decode (block-table entries become the null block) without changing
@@ -193,6 +195,7 @@ def test_window_page_recycling():
     assert out == want
 
 
+@pytest.mark.slow
 def test_window_engine_multi_step_lookahead():
     """Sliding-window models on the lookahead multi-step decode path:
     K fused steps (pending buffer, window bound at the TRUE query

@@ -26,8 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_trace(tracedir):
     """Read the perfetto trace.json.gz jax.profiler wrote; return
     [(name, total_us, count)] for TensorCore ops."""
-    paths = glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"),
-                      recursive=True)
+    # the profiler finishes writing trace.json.gz asynchronously after
+    # the `with jax.profiler.trace(...)` block returns — poll briefly
+    paths = []
+    for _ in range(30):
+        paths = glob.glob(os.path.join(tracedir, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if paths:
+            break
+        time.sleep(1)
     if not paths:
         return None
     path = max(paths, key=os.path.getmtime)

@@ -86,9 +86,14 @@ class ProcessManager:
             return False
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
-                argv = f.read().split(b"\0")
+                argv = [a for a in f.read().split(b"\0") if a]
+            if not argv:
+                # mid-exec (or a zombie): cmdline is transiently empty
+                # right after fork — refusing here makes adoption flaky
+                # under load; the liveness watcher culls real strangers
+                return True
             return any(a.decode("utf-8", "replace") in command
-                       for a in argv if a)
+                       for a in argv)
         except OSError:
             return True  # alive but unreadable: assume ours
 
