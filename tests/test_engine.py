@@ -26,6 +26,7 @@ def tiny():
     return tiny_llama_jax()
 
 
+@pytest.mark.slow  # HF-parity also covered by test_model_parity
 def test_greedy_matches_hf_batched(tiny):
     cfg, params, model = tiny
     rng = np.random.default_rng(3)
@@ -229,6 +230,7 @@ def test_logprobs_and_scoring(tiny):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # 50k-sample statistical check (~6 min on 2 vCPUs)
 def test_sampler_distribution():
     """Sampler statistics: top-k truncation honored; temperature-only
     matches softmax frequencies."""

@@ -24,11 +24,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="fp8",
                     choices=["none", "int8", "w8a8", "fp8"])
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--multi-step", type=int, default=16)
-    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=8,
+                help="8 (2.5 GB quantized) fits one v5e with headroom; 12+ hits HBM limits at prefill")
     args = ap.parse_args()
 
     import jax

@@ -285,13 +285,25 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
     b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = matmul(x, layer["wq"])
-    k = matmul(x, layer["wk"])
-    v = matmul(x, layer["wv"])
-    if "bq" in layer:
-        q = q + layer["bq"]
-        k = k + layer["bk"]
-        v = v + layer["bv"]
+    if "wqkv" in layer:
+        # load-time-merged projection (engine, single-device): ONE
+        # weight stream + ONE dynamic activation quant instead of three
+        # ops sharing the same input — numerics identical (w8a8's
+        # per-row absmax of x is the same scale all three would use)
+        qkv = matmul(x, layer["wqkv"])
+        if "bqkv" in layer:
+            qkv = qkv + layer["bqkv"]
+        q = qkv[..., :nh * d]
+        k = qkv[..., nh * d:(nh + nkv) * d]
+        v = qkv[..., (nh + nkv) * d:]
+    else:
+        q = matmul(x, layer["wq"])
+        k = matmul(x, layer["wk"])
+        v = matmul(x, layer["wv"])
+        if "bq" in layer:
+            q = q + layer["bq"]
+            k = k + layer["bk"]
+            v = v + layer["bv"]
     q = q.reshape(b, t, nh, d)
     k = k.reshape(b, t, nkv, d)
     v = v.reshape(b, t, nkv, d)

@@ -16,7 +16,7 @@ from ..ops.linear import LayerView, matmul
 from .common import (AttnInputs, KVCache, attention_block, layer_norm,
                      write_kv_all_layers)
 
-_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "w_fc", "w_proj")
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "w_fc", "w_proj", "wqkv")
 
 
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,

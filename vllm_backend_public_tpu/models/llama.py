@@ -21,7 +21,8 @@ from .common import (AttnInputs, KVCache, attention_block, rms_norm,
 
 # big per-layer projection weights: kept stacked in HBM and indexed inside
 # the Pallas kernels during decode (LayerView) — never sliced in the scan
-_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+# (wqkv/wgu are the engine's load-time-merged forms, single-device)
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "wqkv", "wgu")
 
 
 def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
@@ -67,8 +68,15 @@ def scan_layers(layers, cfg: ModelConfig, x: jax.Array, attn: AttnInputs,
                 defer_write=True, layer_idx=li, pending=pending)
             x = x + a
             h = rms_norm(x, layer["mlp_norm"], cfg.rms_norm_eps)
-            gate = jax.nn.silu(matmul(h, layer["wg"]))
-            up = matmul(h, layer["wu"])
+            if "wgu" in layer:
+                # load-time-merged gate|up: one weight stream + one
+                # activation quant for the pair (numerics identical)
+                gu = matmul(h, layer["wgu"])
+                gate = jax.nn.silu(gu[..., :cfg.intermediate_size])
+                up = gu[..., cfg.intermediate_size:]
+            else:
+                gate = jax.nn.silu(matmul(h, layer["wg"]))
+                up = matmul(h, layer["wu"])
             x = x + matmul(gate * up, layer["wd"])
             return x, (k_new, v_new)
 

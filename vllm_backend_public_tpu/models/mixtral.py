@@ -60,7 +60,7 @@ def set_moe_impl(impl: str, mesh=None) -> None:
 # The expert weights stay scan-sliced: their consumers are XLA einsums,
 # which fuse the dynamic-slice (no materialized copy) — only opaque
 # Pallas operands pay the copy tax (models/llama.py:scan_layers).
-_BIG_WEIGHTS = ("wq", "wk", "wv", "wo")
+_BIG_WEIGHTS = ("wq", "wk", "wv", "wo", "wqkv")
 
 
 def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
