@@ -372,6 +372,43 @@ def test_mixed_prefill_decode_interleave():
     assert len(kinds2) == 8
 
 
+def test_prefill_packing_bucket_groups():
+    """One 1024-token prompt arriving with seven 32-token prompts must
+    not drag the short rows up to the 1024 bucket (round-3 packed every
+    row to the max row's bucket: 8x1024 padded rows). Rows in one
+    prefill program now share the FIRST row's bucket; differently-sized
+    prompts prefill in the next program."""
+    from vllm_backend_public_tpu.engine.block_allocator import make_allocator
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.request import Request, SamplingParams
+    from vllm_backend_public_tpu.engine.scheduler import Scheduler
+
+    cfg = EngineConfig(model="t", block_size=8, max_num_seqs=16,
+                       max_model_len=2048, max_num_batched_tokens=2048,
+                       num_kv_blocks=400, enable_prefix_caching=False)
+    sched = Scheduler(cfg, make_allocator(400, 8, prefer_native=False))
+    reqs = [Request(list(range(1024)), SamplingParams())]
+    reqs += [Request(list(range(32)), SamplingParams()) for _ in range(7)]
+    for r in reqs:
+        sched.add(r)
+    padded = 0
+    for _ in range(10):
+        p = sched.schedule()
+        if p.prefill is None:
+            break
+        plan = p.prefill
+        padded += len(plan.requests) * plan.bucket
+        assert all(sched._bucket_for(ln) == plan.bucket
+                   for ln in plan.lengths)
+        for req, ln in zip(plan.requests, plan.lengths):
+            sched.on_prefill_progress(req, ln)
+        if all(r.prefill_done for r in reqs):
+            break
+    assert all(r.prefill_done for r in reqs)
+    # round-3 plan: 8 rows x 1024 bucket = 8192; now 1024 + 7x32 = 1248
+    assert padded <= 8 * 1024 // 2, padded
+
+
 def test_decode_context_bucketing_equivalence(tiny):
     """mb-bucketed decode (block-table width sliced to the batch's max
     context) must not change outputs: compare a roomy max_model_len

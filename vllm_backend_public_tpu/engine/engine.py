@@ -63,6 +63,14 @@ def _merge_projections(params, model_cfg):
                 return None
             if len({w.g for w in ws}) != 1:
                 return None
+            # concat-on-axis-(-1) of scales is only lossless when the
+            # last scale axis IS the output-channel axis (per-channel
+            # [out] or per-group [k//g, out]); a future per-tensor or
+            # transposed layout must not merge silently
+            if len({w.s.ndim for w in ws}) != 1:
+                return None
+            if any(w.s.shape[-1] != w.q.shape[-1] for w in ws):
+                return None
             return QuantizedWeight(
                 ws[0].kind,
                 jnp.concatenate([w.q for w in ws], axis=-1),
@@ -436,16 +444,16 @@ class LLMEngine:
             steps = samp["steps"]
             kv_lens0 = kv_lens
             if use_pending:
-                # [L, W, NKV, K, D]: page-shaped per (layer, sequence) so
-                # the attention kernel merges the buffer with its own page
-                # contractions (ops/attention.py pending_kv) and the
-                # end-of-call scatter reads pool-ordered (NKV, K, D) runs.
-                # Step i's write is strided (K second-minor) — that cost
-                # is layout-forced either way: round 3 measured XLA
-                # choosing K-second-minor even for a K-major logical
-                # buffer, to serve the then-XLA-side merge einsums.
-                k_bufs = jnp.zeros((L, W, nkv, k_steps, hd), buf_dtype)
-                v_bufs = jnp.zeros((L, W, nkv, k_steps, hd), buf_dtype)
+                # [L, K, W, NKV, D] K-MAJOR: step i's write is then L
+                # contiguous [W, NKV, D] slabs (the round-3 page-shaped
+                # layout scattered 256B chunks at ~18 GB/s, ~0.45
+                # ms/step at llama8b b64 K32). The kernel — which now
+                # owns the merge — transposes its [K, S, NKV, D] block
+                # back to page shape in VMEM, where the relayout is
+                # ~free; round 3 couldn't use K-major because the merge
+                # ran in XLA, whose einsums forced K-second-minor.
+                k_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
+                v_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
             else:
                 k_bufs = v_bufs = jnp.zeros((), buf_dtype)
 
@@ -465,9 +473,9 @@ class LLMEngine:
                     cache_c = new_cache
                 if use_pending:
                     k_bufs = jax.lax.dynamic_update_index_in_dim(
-                        k_bufs, kv_news[0].astype(buf_dtype), i, axis=3)
+                        k_bufs, kv_news[0].astype(buf_dtype), i, axis=1)
                     v_bufs = jax.lax.dynamic_update_index_in_dim(
-                        v_bufs, kv_news[1].astype(buf_dtype), i, axis=3)
+                        v_bufs, kv_news[1].astype(buf_dtype), i, axis=1)
                 toks_buf = jax.lax.dynamic_update_index_in_dim(
                     toks_buf, toks, i, axis=0)
                 if want_logprobs:
@@ -501,9 +509,10 @@ class LLMEngine:
                     positions=wpos,
                     write_mask=jnp.broadcast_to(active[:, None],
                                                 (W, k_steps)))
+                # K-major [L, K, W, NKV, D] -> per-token [L, W, K, NKV, D]
                 cache = write_kv_all_layers(
-                    cache, k_bufs.transpose(0, 1, 3, 2, 4),
-                    v_bufs.transpose(0, 1, 3, 2, 4), wattn)
+                    cache, k_bufs.transpose(0, 2, 1, 3, 4),
+                    v_bufs.transpose(0, 2, 1, 3, 4), wattn)
             return (toks_buf, cache, counts, kv_lens, steps,
                     (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 

@@ -191,12 +191,20 @@ class Scheduler:
         - every row needs a decode slot available for when its prompt
           completes;
         - preemption (block reclaim) is attempted only for the FIRST row —
-          growing the batch never evicts running work.
+          growing the batch never evicts running work;
+        - all rows in one program share the FIRST row's length bucket:
+          every row pads to one shared bucket (one compiled variant per
+          (rows, bucket) pair), so packing a 1024-token prompt with seven
+          32-token prompts would cost 8x1024 padded rows — like-sized
+          prompts batch together instead, and differently-sized ones go
+          in the NEXT prefill program (admission stays priority-ordered:
+          we stop rather than skip, so no request is overtaken).
         """
         budget = self.cfg.max_num_batched_tokens
         sel: List[Request] = []
         starts: List[int] = []
         lengths: List[int] = []
+        bucket0: Optional[int] = None
         free_slots = len(self._free_slots)
         for req in list(self.waiting):
             if len(sel) >= min(self.cfg.max_prefill_seqs, free_slots):
@@ -206,6 +214,8 @@ class Scheduler:
             self._try_prefix_cache(req)
             start = req.num_computed_tokens
             length = min(req.num_prompt_tokens - start, budget)
+            if bucket0 is not None and self._bucket_for(length) != bucket0:
+                break
             # blocks to hold start+length tokens (+1 lookahead for the
             # first decode token so prefill-complete can sample at once)
             end = start + length
@@ -224,9 +234,12 @@ class Scheduler:
             starts.append(start)
             lengths.append(length)
             budget -= length
+            if bucket0 is None:
+                bucket0 = self._bucket_for(length)
         if not sel:
             return None
         bucket = self._bucket_for(max(lengths))
+        assert bucket == bucket0
         return PrefillPlan(requests=sel, starts=starts, lengths=lengths,
                            bucket=bucket)
 

@@ -334,15 +334,15 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
             prefix_lens = prefix_lens - pending[2]
         if (pending is not None and pending[0].ndim == 5
                 and not use_kernel):
-            # stacked [L, ...] buffer: the kernel layer-indexes it via
-            # scalar prefetch (zero-copy); the XLA fallback needs this
-            # layer's slice
+            # stacked K-major [L, K, B, NKV, D] buffer: the kernel
+            # layer-indexes it via scalar prefetch (zero-copy); the XLA
+            # fallback needs this layer's slice back in page shape
             assert layer_idx is not None
             pending = (
                 jax.lax.dynamic_index_in_dim(pending[0], layer_idx, 0,
-                                             False),
+                                             False).transpose(1, 2, 0, 3),
                 jax.lax.dynamic_index_in_dim(pending[1], layer_idx, 0,
-                                             False),
+                                             False).transpose(1, 2, 0, 3),
                 pending[2])
         q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
         if use_kernel:

@@ -63,15 +63,24 @@ def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
                    S: int = 1, pending: bool = False, newkv: bool = False,
                    finalize: bool = False, group: int = 0,
-                   rowwise: bool = False):
+                   rowwise: bool = False, pend_k_major: bool = False):
     """Online-softmax over one page per grid step for S sequences at once.
 
     S > 1 exists to beat LATENCY, not throughput: one sequence's
     online-softmax update is a ~15-op serial dependency chain on skinny
     [NKV, G, *] vectors, so a single chain leaves the VPU mostly idle
     (measured: full kernel 257us/layer vs 80us DMA floor at S=1,
-    batch 64 x 3 pages). S independent chains interleave in the
-    compiler's schedule and amortize the per-grid-step fixed cost.
+    batch 64 x 3 pages). Round 3 relied on the compiler interleaving S
+    independent per-sequence chains; round 4 VECTORIZES them — the S
+    sequences' scores stack into one [S, NKV, QT, BS] tensor and every
+    mask / max / exp / accumulate runs ONCE on the stacked tensor, so
+    the serial chain length per grid step is that of a single sequence
+    regardless of S (only the MXU dots stay per-sequence: each sequence
+    reads a different page block). A sequence whose pages are exhausted
+    (or fully window-masked) contributes an exact no-op: its scores mask
+    to NEG_INF, the running max is unchanged, and the universal
+    `p = where(keep, p, 0)` remask kills the exp(0)=1 hazard when the
+    running max itself is still NEG_INF.
 
     pending/newkv/finalize (decode only): the multi-step lookahead
     buffer ([NKV, K, D] per sequence — page-shaped, so the same
@@ -81,6 +90,12 @@ def _prefix_kernel(*args, bs: int, scale: float,
     [B, NKV, G, *] fusions plus seven layout copies that XLA pins around
     the batched einsums (step_bisect.py round 3) — in-kernel the merge
     reuses the page path's dot shapes and the epilogue disappears.
+    pend_k_major: the stacked pending buffer is [L, K, B, NKV, D]
+    (step-major, so the engine's per-step write is a contiguous
+    [B, NKV, D] slab per layer instead of a 256B-strided scatter —
+    ~0.45 ms/step at llama8b b64 K32); the kernel transposes its
+    [K, S, NKV, D] block to page shape in VMEM (cheap: the block is
+    ~0.5 MB and the transpose runs once per kernel call).
     """
     # operands: [li_ref if stacked], bt_ref, kl_ref, [qp_ref if window],
     # [cnt_ref if pending], then tensor refs. qp_ref carries the TRUE
@@ -122,28 +137,33 @@ def _prefix_kernel(*args, bs: int, scale: float,
         l_s[:] = jnp.zeros_like(l_s)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # per-sequence metadata as [S] vectors (scalar SMEM reads stacked
+    # into vector lanes — cheap, and they feed the vectorized masks);
+    # the group-level `process` predicate stays in pure scalar ops
+    kv_len = jnp.stack([kl_ref[bi * S + j] for j in range(S)])
+    qpos = (jnp.stack([qp_ref[bi * S + j] for j in range(S)])
+            if window is not None else kv_len)
+    valid = kv_len - i * bs
+    process = None
     for j in range(S):
-        kv_len = kl_ref[bi * S + j]
-        qpos = qp_ref[bi * S + j]
-        valid = kv_len - i * bs
-        process = valid > 0
+        ok_j = (kl_ref[bi * S + j] - i * bs) > 0
         if window is not None:
             # sliding window: cache keys valid iff pos > qpos - window
             # (qpos = the query's true position); skip pages entirely
             # below the window
-            process &= (i * bs + bs - 1) > (qpos - window)
+            ok_j &= (i * bs + bs - 1) > (qp_ref[bi * S + j] - window)
+        process = ok_j if process is None else (process | ok_j)
 
-        @pl.when(process)
-        def _(j=j, kv_len=kv_len, qpos=qpos, valid=valid):
-            # stacked pools use a dropped (None) layer dim in the
-            # BlockSpec, so page blocks arrive as [1, NKV, BS, D] in both
-            # modes — in-kernel rank fix-ups would need memref slices
-            # that Mosaic rejects at block_size < 128 lanes
-            k_ref, v_ref = k_refs[j], v_refs[j]
-            ks_ref, vs_ref = ks_refs[j], vs_refs[j]
-            q = q_ref[j]                               # [NKV, G, D]
-            k = k_ref[0]                               # [NKV, BS, D]
-            v = v_ref[0]
+    @pl.when(process)
+    def _():
+        # stacked pools use a dropped (None) layer dim in the
+        # BlockSpec, so page blocks arrive as [1, NKV, BS, D] in both
+        # modes — in-kernel rank fix-ups would need memref slices
+        # that Mosaic rejects at block_size < 128 lanes
+        qv = q_ref[...]                                # [S, NKV, QT, D]
+        s_parts = []
+        for j in range(S):
+            k = k_refs[j][0]                           # [NKV, BS, D]
             if k.dtype == jnp.int8:
                 # bf16 feeds the MXU natively; the [NKV, BS, D]-sized
                 # dequant multiplies are NOT done here — the per-(head,
@@ -155,97 +175,117 @@ def _prefix_kernel(*args, bs: int, scale: float,
                 # ctx 1024): the in-kernel q/p quantization VPU work
                 # exceeds the MXU-rate saving at decode's tiny G.
                 k = k.astype(jnp.bfloat16)
-            q = q.astype(k.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * scale
-            if quant:
-                s = s * ks_ref[0][:, None, :]
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-            keep = col < valid
-            if window is not None:
-                if rowwise:
-                    # chunked prefill: q row r (within its kv head) sits
-                    # at position qpos + r // group, so the window bound
-                    # moves per row
-                    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    qrow = qpos + (qi * s.shape[1] + row) // group
-                    keep &= (col + i * bs) > (qrow - window)
-                else:
-                    keep &= (col + i * bs) > (qpos - window)
-            s = jnp.where(keep, s, NEG_INF)
-
-            m_prev = m_s[j]                            # [NKV, G, 1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
+            s_parts.append(jax.lax.dot_general(
+                qv[j].astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
+        s = jnp.stack(s_parts) * scale                 # [S, NKV, QT, BS]
+        if quant:
+            ksv = jnp.stack([ks_refs[j][0] for j in range(S)])
+            s = s * ksv[:, :, None, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        keep = col < valid.reshape(S, 1, 1, 1)
+        if window is not None:
+            qpv = qpos.reshape(S, 1, 1, 1)
             if rowwise:
-                # per-row windows can FULLY mask a processed page for
-                # early rows (the page-skip clamp is row-0-conservative):
-                # their running max lands exactly on the finite NEG_INF
-                # and exp(s - m) would be 1 for every masked slot
-                p = jnp.where(keep, p, 0.0)
-            l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2, keepdims=True)
-            if quant:
-                p = p * vs_ref[0][:, None, :]
+                # chunked prefill: q row r (within its kv head) sits
+                # at position qpos + r // group, so the window bound
+                # moves per row
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+                qrow = qpv + (qi * s.shape[2] + row) // group
+                keep &= (col + i * bs) > (qrow - window)
+            else:
+                keep &= (col + i * bs) > (qpv - window)
+        s = jnp.where(keep, s, NEG_INF)
+
+        m_prev = m_s[...]                              # [S, NKV, QT, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=3, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        # universal remask: a sequence already past its last page (or a
+        # page fully masked by the window) has every slot at the finite
+        # NEG_INF; if its running max is still NEG_INF, exp(s - m) = 1
+        # would inflate l/acc by a whole page. With the remask its
+        # update is an exact no-op (alpha = 1, p = 0) — this is what
+        # lets ALL S sequences share one vectorized softmax update with
+        # no per-sequence guard.
+        p = jnp.where(keep, p, 0.0)
+        l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=3, keepdims=True)
+        if quant:
+            vsv = jnp.stack([vs_refs[j][0] for j in range(S)])
+            p = p * vsv[:, :, None, :]
+        o_parts = []
+        for j in range(S):
+            v = v_refs[j][0]
             if v.dtype == jnp.int8:
                 v = v.astype(jnp.bfloat16)
-            acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-            m_s[j] = m_new
+            o_parts.append(jax.lax.dot_general(
+                p[j].astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
+        acc_ref[...] = acc_ref[...] * alpha + jnp.stack(o_parts)
+        m_s[...] = m_new
 
     @pl.when(i == mb - 1)
     def _():
-        for j in range(S):
-            if pending:
-                # guarded like the page path's `process`: with cnt == 0
-                # every score masks to the FINITE NEG_INF, m would land
-                # exactly there and exp(s - m) = 1 for every masked slot
-                @pl.when(cnt_ref[0] > 0)
-                def _(j=j):
-                    bseq = bi * S + j
-                    cnt = cnt_ref[0]
-                    q = q_ref[j].astype(jnp.float32)     # [NKV, G, D]
-                    kp = pk_ref[j].astype(jnp.float32)   # [NKV, K, D]
-                    vp = pv_ref[j].astype(jnp.float32)
-                    sp = jax.lax.dot_general(
-                        q, kp, (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32) * scale
-                    col = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 2)
-                    keep = col < cnt
-                    if window is not None:
-                        # pending token c sits at position prefix + c;
-                        # the query is at qpos = prefix + cnt (always
-                        # leaves col = cnt-1 in-window, so the guard
-                        # above is sufficient)
-                        keep &= (col + kl_ref[bseq]) > (qp_ref[bseq]
-                                                        - window)
-                    sp = jnp.where(keep, sp, NEG_INF)
-                    m_prev = m_s[j]
-                    m_new = jnp.maximum(
-                        m_prev, jnp.max(sp, axis=2, keepdims=True))
-                    alpha = jnp.exp(m_prev - m_new)
-                    p = jnp.exp(sp - m_new)
-                    l_s[j] = l_s[j] * alpha + jnp.sum(p, axis=2,
-                                                      keepdims=True)
-                    acc_ref[j] = acc_ref[j] * alpha + jax.lax.dot_general(
-                        p, vp, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-                    m_s[j] = m_new
-            if newkv:
-                q = q_ref[j].astype(jnp.float32)
-                kn = kn_ref[j].astype(jnp.float32)       # [NKV, D]
-                vn = vn_ref[j].astype(jnp.float32)
-                s1 = jnp.sum(q * kn[:, None, :], axis=2,
-                             keepdims=True) * scale      # [NKV, G, 1]
-                m_prev = m_s[j]
-                m_new = jnp.maximum(m_prev, s1)
+        if pending:
+            # guarded like the page path's `process`: with cnt == 0
+            # every score masks to the FINITE NEG_INF, m would land
+            # exactly there and exp(s - m) = 1 for every masked slot
+            @pl.when(cnt_ref[0] > 0)
+            def _():
+                cnt = cnt_ref[0]
+                qv = q_ref[...].astype(jnp.float32)    # [S, NKV, G, D]
+                kp = pk_ref[...]
+                vp = pv_ref[...]
+                if pend_k_major:
+                    # stacked K-major block [K, S, NKV, D] -> page shape
+                    kp = jnp.transpose(kp, (1, 2, 0, 3))
+                    vp = jnp.transpose(vp, (1, 2, 0, 3))
+                kp = kp.astype(jnp.float32)            # [S, NKV, K, D]
+                vp = vp.astype(jnp.float32)
+                sp_parts = [jax.lax.dot_general(
+                    qv[j], kp[j], (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                    for j in range(S)]
+                sp = jnp.stack(sp_parts) * scale       # [S, NKV, G, K]
+                col = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 3)
+                keep = col < cnt
+                if window is not None:
+                    # pending token c sits at position prefix + c;
+                    # the query is at qpos = prefix + cnt (always
+                    # leaves col = cnt-1 in-window, so the cnt guard
+                    # above is sufficient for the newest slot)
+                    keep &= ((col + kv_len.reshape(S, 1, 1, 1))
+                             > (qpos.reshape(S, 1, 1, 1) - window))
+                sp = jnp.where(keep, sp, NEG_INF)
+                m_prev = m_s[...]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(sp, axis=3, keepdims=True))
                 alpha = jnp.exp(m_prev - m_new)
-                p1 = jnp.exp(s1 - m_new)
-                l_s[j] = l_s[j] * alpha + p1
-                acc_ref[j] = acc_ref[j] * alpha + p1 * vn[:, None, :]
-                m_s[j] = m_new
+                p = jnp.exp(sp - m_new)
+                # same universal remask as the page path (a window can
+                # fully mask every pending slot for one sequence)
+                p = jnp.where(keep, p, 0.0)
+                l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=3,
+                                                      keepdims=True)
+                o_parts = [jax.lax.dot_general(
+                    p[j], vp[j], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                    for j in range(S)]
+                acc_ref[...] = acc_ref[...] * alpha + jnp.stack(o_parts)
+                m_s[...] = m_new
+        if newkv:
+            qv = q_ref[...].astype(jnp.float32)        # [S, NKV, G, D]
+            kn = kn_ref[...].astype(jnp.float32)       # [S, NKV, D]
+            vn = vn_ref[...].astype(jnp.float32)
+            s1 = jnp.sum(qv * kn[:, :, None, :], axis=3,
+                         keepdims=True) * scale        # [S, NKV, G, 1]
+            m_prev = m_s[...]
+            m_new = jnp.maximum(m_prev, s1)
+            alpha = jnp.exp(m_prev - m_new)
+            p1 = jnp.exp(s1 - m_new)
+            l_s[...] = l_s[...] * alpha + p1
+            acc_ref[...] = acc_ref[...] * alpha + p1 * vn[:, :, None, :]
+            m_s[...] = m_new
         if finalize:
             o_ref[:] = (acc_ref[:]
                         / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
@@ -340,9 +380,10 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         args += [k_scale, v_scale]
         specs += [ps, ps]
     if pending:
-        # lookahead buffer [[L,] B, NKV, K, D]: rows over "data", kv
-        # heads over "model" like the page pool
-        pspec = (P(None, "data", "model", None, None)
+        # lookahead buffer — [B, NKV, K, D] page-shaped, or stacked
+        # K-major [L, K, B, NKV, D]: rows over "data", kv heads over
+        # "model" like the page pool
+        pspec = (P(None, None, "data", "model", None)
                  if pending_kv[0].ndim == 5
                  else P("data", "model", None, None))
         args += [pending_kv[0], pending_kv[1],
@@ -539,23 +580,29 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     def batch_index3(bi, qi, ii, *pref):
         return (bi, 0, 0)
 
+    p_stacked = False
     if pending:
         # lookahead buffer — page-shaped per sequence, so the last grid
         # step merges it with the page path's contractions. A stacked
-        # [L, B, NKV, K, D] buffer is layer-indexed by the kernel like
-        # the stacked page pool (a per-layer dynamic_index_in_dim in the
-        # scan costs a 4MB materialized copy per buffer per layer —
-        # ~0.43 ms/step at llama8b b64, step_bisect.py round 3)
+        # buffer is layer-indexed by the kernel like the stacked page
+        # pool (a per-layer dynamic_index_in_dim in the scan costs a 4MB
+        # materialized copy per buffer per layer — ~0.43 ms/step at
+        # llama8b b64, step_bisect.py round 3). Stacked buffers are
+        # K-MAJOR [L, K, B, NKV, D]: the engine's per-step write is then
+        # a contiguous [B, NKV, D] slab per layer (the page-shaped
+        # layout's write scattered 256B chunks at ~18 GB/s, ~0.45
+        # ms/step); the kernel transposes its block back to page shape.
         p_stacked = pending_kv[0].ndim == 5
         if p_stacked and not stacked:
             raise ValueError("stacked pending buffer needs `layer`")
 
         def pend_index(bi, qi, ii, *pref):
             if p_stacked:
-                return (pref[0][0], bi, 0, 0, 0)
+                return (pref[0][0], 0, bi, 0, 0)
             return (bi, 0, 0, 0)
 
-        pend_block = ((None, S) + pending_kv[0].shape[2:] if p_stacked
+        kk = pending_kv[0].shape[1]
+        pend_block = ((None, kk, S, nkv, d) if p_stacked
                       else (S,) + pending_kv[0].shape[1:])
         in_specs += [pl.BlockSpec(pend_block, pend_index)] * 2
         operands += [pending_kv[0], pending_kv[1]]
@@ -597,7 +644,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
                           quant=quant, stacked=stacked, S=S,
                           pending=pending, newkv=newkv, finalize=finalize,
-                          group=group, rowwise=rowwise),
+                          group=group, rowwise=rowwise,
+                          pend_k_major=p_stacked),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -660,8 +708,10 @@ def chunk_prefill_attention_deferred(q, k_chunk, v_chunk, k_pages, v_pages,
     prefix pages (Pallas kernel, no gather) merged with in-chunk causal
     attention (XLA; T x T fits VMEM/MXU comfortably).
     write_mask: [B, T] — padding rows produce garbage but are masked as
-    keys. window: sliding-window size — per-row lower bounds, so the
-    prefix part takes the XLA path. k_scale/v_scale: int8 KV page scales
+    keys. window: sliding-window size — the kernel applies per-row lower
+    bounds via qpos_group (row r's query sits at prefix + r//G), so
+    windowed prefill stays on the Pallas path; only use_kernel=False
+    drops to the XLA gather. k_scale/v_scale: int8 KV page scales
     (dequant inside the kernel / fused into the gather), so quantized-KV
     prefill can defer its cache write like decode does — a lax.scan
     carrying the quantized pool double-buffers it (pool-sized temp) and
@@ -750,7 +800,8 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
     """XLA reference for the deferred decode path (gather-based).
 
     Supports int8 KV pages via per-(block, head, token) scales, the
-    multi-step lookahead buffer (`pending`, see _merge_pending), and
+    multi-step lookahead buffer (`pending`, page-shaped [B, NKV, J, D]
+    per layer), and
     stacked [L, ...] pools via `layer` (fused into the gather indices —
     never a materialized per-layer pool slice)."""
     from ..models.common import gather_pages

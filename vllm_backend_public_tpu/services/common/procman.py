@@ -88,9 +88,21 @@ class ProcessManager:
             with open(f"/proc/{pid}/cmdline", "rb") as f:
                 argv = [a for a in f.read().split(b"\0") if a]
             if not argv:
-                # mid-exec (or a zombie): cmdline is transiently empty
-                # right after fork — refusing here makes adoption flaky
-                # under load; the liveness watcher culls real strangers
+                # mid-exec: cmdline is transiently empty right after
+                # fork — refusing here makes adoption flaky under load.
+                # But kernel threads ALWAYS read empty (they'd be
+                # adopted forever if the PID got reused) and zombies
+                # stay empty until reaped, so rule those out first via
+                # /proc/pid/stat: field after the comm ")" is the state
+                # ('Z' = zombie); the next is ppid (kernel threads
+                # parent to kthreadd, pid 2).
+                try:
+                    with open(f"/proc/{pid}/stat") as sf:
+                        rest = sf.read().rsplit(")", 1)[1].split()
+                    if rest[0] == "Z" or int(rest[1]) == 2 or pid == 2:
+                        return False
+                except (OSError, IndexError, ValueError):
+                    pass
                 return True
             return any(a.decode("utf-8", "replace") in command
                        for a in argv)
