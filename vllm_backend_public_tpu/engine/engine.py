@@ -19,6 +19,7 @@ That is the XLA analog of vLLM's CUDA-graph capture.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -208,10 +209,19 @@ class LLMEngine:
                 from ..models.mixtral import set_moe_impl
                 if pp == 1:
                     # expert-parallel grouped dispatch: shard_map over
-                    # ("expert", "model") — each shard computes only the
-                    # assignments routed to its local experts
-                    # (ops/moe.py:moe_mlp_grouped_sharded)
-                    set_moe_impl("grouped_ep", self.mesh)
+                    # ("expert", "model"). ep > 2 routes tokens with a
+                    # ragged all-to-all (bytes scale with routed rows,
+                    # ops/moe.py:moe_mlp_a2a_sharded); at ep <= 2 the
+                    # replicated-activation psum exchange moves fewer
+                    # bytes (see the a2a docstring's per-shard math), so
+                    # it stays the default there. VBPT_MOE_EP_EXCHANGE
+                    # ∈ {a2a, psum} overrides.
+                    ep_size = self.mesh.shape.get("expert", 1)
+                    pref = os.environ.get("VBPT_MOE_EP_EXCHANGE", "")
+                    use_a2a = (pref == "a2a"
+                               or (pref != "psum" and ep_size > 2))
+                    set_moe_impl("grouped_ep_a2a" if use_a2a
+                                 else "grouped_ep", self.mesh)
                 else:
                     # the pipelined forward already shard_maps over
                     # "pipe"; nesting the MoE shard_map inside it is not

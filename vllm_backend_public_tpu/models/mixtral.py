@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..loader.hf import ModelConfig
 from ..ops.linear import LayerView, matmul
-from ..ops.moe import moe_mlp_dense, moe_mlp_grouped, moe_mlp_grouped_sharded
+from ..ops.moe import (moe_mlp_a2a_sharded, moe_mlp_dense, moe_mlp_grouped,
+                       moe_mlp_grouped_sharded)
 from .common import (AttnInputs, KVCache, attention_block, rms_norm,
                      rope_cos_sin, write_kv_all_layers)
 
@@ -51,7 +52,8 @@ _AUTO_DENSE_MAX_TOKENS = 512
 
 def set_moe_impl(impl: str, mesh=None) -> None:
     global MOE_IMPL, MOE_MESH
-    if impl not in ("auto", "grouped", "grouped_ep", "dense"):
+    if impl not in ("auto", "grouped", "grouped_ep", "grouped_ep_a2a",
+                    "dense"):
         raise ValueError(impl)
     MOE_IMPL = impl
     MOE_MESH = mesh
@@ -67,6 +69,10 @@ def moe_mlp(x: jax.Array, layer, cfg: ModelConfig) -> jax.Array:
     """x: [B, T, H] -> [B, T, H] via top-k routed experts."""
     if MOE_IMPL == "grouped_ep":
         return moe_mlp_grouped_sharded(
+            x, layer["router"], layer["we_gate"], layer["we_up"],
+            layer["we_down"], cfg.experts_per_token, MOE_MESH)
+    if MOE_IMPL == "grouped_ep_a2a":
+        return moe_mlp_a2a_sharded(
             x, layer["router"], layer["we_gate"], layer["we_up"],
             layer["we_down"], cfg.experts_per_token, MOE_MESH)
     impl = MOE_IMPL

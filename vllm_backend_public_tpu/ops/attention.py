@@ -137,13 +137,10 @@ def _prefix_kernel(*args, bs: int, scale: float,
         l_s[:] = jnp.zeros_like(l_s)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # per-sequence metadata as [S] vectors (scalar SMEM reads stacked
-    # into vector lanes — cheap, and they feed the vectorized masks);
-    # the group-level `process` predicate stays in pure scalar ops
-    kv_len = jnp.stack([kl_ref[bi * S + j] for j in range(S)])
-    qpos = (jnp.stack([qp_ref[bi * S + j] for j in range(S)])
-            if window is not None else kv_len)
-    valid = kv_len - i * bs
+    # group-level `process` predicate in pure scalar ops (per-sequence
+    # bounds stay scalars — Mosaic can't reshape an [S] vector to
+    # [S,1,1,1], so the masks below broadcast scalars against 3-D iotas
+    # per sequence and stack)
     process = None
     for j in range(S):
         ok_j = (kl_ref[bi * S + j] - i * bs) > 0
@@ -182,19 +179,27 @@ def _prefix_kernel(*args, bs: int, scale: float,
         if quant:
             ksv = jnp.stack([ks_refs[j][0] for j in range(S)])
             s = s * ksv[:, :, None, :]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        keep = col < valid.reshape(S, 1, 1, 1)
-        if window is not None:
-            qpv = qpos.reshape(S, 1, 1, 1)
-            if rowwise:
-                # chunked prefill: q row r (within its kv head) sits
-                # at position qpos + r // group, so the window bound
-                # moves per row
-                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-                qrow = qpv + (qi * s.shape[2] + row) // group
-                keep &= (col + i * bs) > (qrow - window)
-            else:
-                keep &= (col + i * bs) > (qpv - window)
+        # per-sequence masks: scalar bounds broadcast against 3-D iotas
+        # (a 4-D compare against an [S]-vector bound would need a vector
+        # reshape Mosaic rejects), stacked to match s
+        sh3 = s.shape[1:]
+        col3 = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
+        keeps = []
+        for j in range(S):
+            kj = col3 < (kl_ref[bi * S + j] - i * bs)
+            if window is not None:
+                qpos_j = qp_ref[bi * S + j]
+                if rowwise:
+                    # chunked prefill: q row r (within its kv head) sits
+                    # at position qpos + r // group, so the window bound
+                    # moves per row
+                    row = jax.lax.broadcasted_iota(jnp.int32, sh3, 1)
+                    qrow = qpos_j + (qi * sh3[1] + row) // group
+                    kj &= (col3 + i * bs) > (qrow - window)
+                else:
+                    kj &= (col3 + i * bs) > (qpos_j - window)
+            keeps.append(kj)
+        keep = jnp.stack(keeps)                        # [S, NKV, QT, BS]
         s = jnp.where(keep, s, NEG_INF)
 
         m_prev = m_s[...]                              # [S, NKV, QT, 1]
@@ -247,15 +252,20 @@ def _prefix_kernel(*args, bs: int, scale: float,
                     preferred_element_type=jnp.float32)
                     for j in range(S)]
                 sp = jnp.stack(sp_parts) * scale       # [S, NKV, G, K]
-                col = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 3)
-                keep = col < cnt
-                if window is not None:
-                    # pending token c sits at position prefix + c;
-                    # the query is at qpos = prefix + cnt (always
-                    # leaves col = cnt-1 in-window, so the cnt guard
-                    # above is sufficient for the newest slot)
-                    keep &= ((col + kv_len.reshape(S, 1, 1, 1))
-                             > (qpos.reshape(S, 1, 1, 1) - window))
+                sh3 = sp.shape[1:]
+                col3 = jax.lax.broadcasted_iota(jnp.int32, sh3, 2)
+                keeps = []
+                for j in range(S):
+                    kj = col3 < cnt
+                    if window is not None:
+                        # pending token c sits at position prefix + c;
+                        # the query is at qpos = prefix + cnt (always
+                        # leaves col = cnt-1 in-window, so the cnt
+                        # guard above covers the newest slot)
+                        kj &= ((col3 + kl_ref[bi * S + j])
+                               > (qp_ref[bi * S + j] - window))
+                    keeps.append(kj)
+                keep = jnp.stack(keeps)                # [S, NKV, G, K]
                 sp = jnp.where(keep, sp, NEG_INF)
                 m_prev = m_s[...]
                 m_new = jnp.maximum(

@@ -418,6 +418,196 @@ def moe_mlp_grouped_sharded(x: jax.Array, router_w, we_gate, we_up, we_down,
         x, router_w, we_gate, we_up, we_down)
 
 
+def _ragged_a2a(operand, output, in_off, send_sizes, out_off, recv_sizes,
+                axis: str):
+    """jax.lax.ragged_all_to_all, with an emulation off-TPU.
+
+    XLA:CPU has no `ragged-all-to-all` thunk (UNIMPLEMENTED as of JAX
+    0.9), so the 8-device virtual-CPU test mesh and the multichip
+    dryrun emulate it: all_gather every shard's operand and offset
+    vectors, then each shard reconstructs its output rows by index
+    arithmetic. Bytes don't scale on the emulation path (it's an
+    all_gather) — it exists for correctness coverage only; real TPU
+    meshes lower to the native collective, whose ICI bytes are the
+    actual routed rows.
+
+    Semantics (both paths): device s sends
+    operand[in_off[d] : in_off[d]+send_sizes[d]] to device d, landing at
+    output[out_off_of_s_at_d : + send_sizes[d]]; `out_off` holds, per
+    destination d, the offset in d's output where THIS device's chunk
+    lands; `recv_sizes[s]` = rows this device receives from s. Rows of
+    `output` nobody writes keep their initial value.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.lax.ragged_all_to_all(
+            operand, output, in_off, send_sizes, out_off, recv_sizes,
+            axis_name=axis)
+    me = jax.lax.axis_index(axis)
+    all_ops = jax.lax.all_gather(operand, axis)        # [ep, A, ...]
+    src_in = jax.lax.all_gather(in_off, axis)          # [ep, ep]
+    dst_out = jax.lax.all_gather(out_off, axis)        # [ep, ep]
+    cap = output.shape[0]
+    r = jnp.arange(cap, dtype=jnp.int32)
+    start = dst_out[:, me]                             # [ep] chunk starts
+    cond = ((r[None, :] >= start[:, None])
+            & (r[None, :] < (start + recv_sizes)[:, None]))  # [ep, cap]
+    src_dev = jnp.argmax(cond, axis=0).astype(jnp.int32)
+    written = jnp.any(cond, axis=0)
+    src_row = src_in[src_dev, me] + (r - start[src_dev])
+    gathered = all_ops[src_dev, jnp.clip(src_row, 0, all_ops.shape[1] - 1)]
+    mask = written.reshape(written.shape + (1,) * (output.ndim - 1))
+    return jnp.where(mask, gathered, output)
+
+
+def moe_mlp_a2a_sharded(x: jax.Array, router_w, we_gate, we_up, we_down,
+                        top_k: int, mesh,
+                        interpret: bool = False) -> jax.Array:
+    """Expert-parallel MoE with a RAGGED ALL-TO-ALL token exchange.
+
+    The round-3 path (moe_mlp_grouped_sharded) replicates activations
+    over "expert" and combines with a psum: per-shard routing work and
+    the combine collective scale with the FULL token set — O(E) more
+    ICI bytes than necessary at Mixtral-scale EP. Here tokens are
+    SHARDED over "expert" inside the region (each shard slices its
+    n/ep rows of the replicated input — free), routing runs on n/ep
+    tokens, and only ROUTED TOKEN ROWS cross the interconnect:
+
+      1. sort my assignments by destination shard (dst = expert // E_loc)
+      2. exchange per-(src, dst) counts (an all_gather of [ep] ints)
+      3. jax.lax.ragged_all_to_all ships the token rows (+ an int32
+         row of local-expert ids) — bytes/step = actual routed rows
+      4. each shard groups its received rows by local expert
+         (make_dispatch with k=1) and runs the grouped quantized MLP
+      5. a reverse ragged_all_to_all returns computed rows to the
+         token-owning shard, which applies the top-k gate weights
+      6. all_gather over "expert" restores the caller's
+         replicated-over-"expert" activation contract
+
+    ICI bytes per shard per layer (H=hidden, n=tokens, k=top_k):
+      psum path:  ~2 * n * H          (reduce-scatter + all-gather)
+      this path:  ~2 * n * k * H / ep (dispatch + return)
+                  + n * H * (ep-1)/ep (final all-gather)
+    At ep = 2, k = 2 they break even (~2nH vs ~2.5nH — the a2a only
+    pays off with routing locality); at ep = 8, k = 2 the a2a moves
+    ~1.4nH vs ~1.75nH and routing/dispatch compute drops 8x. The
+    crossover is why the engine keeps the psum path for ep <= 2.
+
+    Capacity-free and exact like the psum path: receive buffers are
+    worst-case-sized (every token routes to me), never dropped.
+    Reference touchpoint: vLLM's all-to-all EP dispatch
+    (benchmark-vllm/vllm_templates.py:75-76 passes EP through).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    xs = P("data", None, None)
+
+    def inner(xl, rw, wg, wu, wd):
+        e_loc = (wg.q if is_quantized(wg) else wg).shape[0]
+        ep = jax.lax.axis_size("expert")
+        me = jax.lax.axis_index("expert")
+        b, t, h = xl.shape
+        n = b * t
+        tile = _gmm_tile_m(xl.dtype)
+        xf = xl.reshape(n, h)
+        if ep == 1:
+            # no expert axis: plain local grouped MoE (+ "model" psum)
+            logits = xf.astype(jnp.float32) @ rw.astype(jnp.float32)
+            topv, topi = jax.lax.top_k(logits, top_k)
+            topw = jax.nn.softmax(topv, axis=-1)
+            plan = make_dispatch(topi, topw, e_loc, tile)
+            xg = gather_tokens(xf, plan)
+            g = grouped_expert_matmul(xg, wg, plan, interpret)
+            u = grouped_expert_matmul(xg, wu, plan, interpret)
+            hg = (jax.nn.silu(g.astype(jnp.float32))
+                  * u.astype(jnp.float32)).astype(xl.dtype)
+            y = grouped_expert_matmul(hg, wd, plan, interpret)
+            out = combine_tokens(y, plan, n)
+            if jax.lax.axis_size("model") > 1:
+                out = jax.lax.psum(out, "model")
+            return out.reshape(b, t, h).astype(xl.dtype)
+
+        # ---- 1. my token slice (input is replicated over "expert") ----
+        n_pad = -(-n // ep) * ep
+        if n_pad != n:
+            xf = jnp.pad(xf, ((0, n_pad - n), (0, 0)))
+        n_loc = n_pad // ep
+        xme = jax.lax.dynamic_slice_in_dim(xf, me * n_loc, n_loc, 0)
+
+        # ---- 2. route my tokens only ---------------------------------
+        logits = xme.astype(jnp.float32) @ rw.astype(jnp.float32)
+        topv, topi = jax.lax.top_k(logits, top_k)      # [n_loc, k]
+        topw = jax.nn.softmax(topv, axis=-1)
+        a = n_loc * top_k
+        flat_e = topi.reshape(-1)                       # [a] global expert
+        dst = flat_e // e_loc                           # [a] target shard
+        tok = jnp.arange(a, dtype=jnp.int32) // top_k
+        order = jnp.argsort(dst, stable=True)
+        send_rows = xme[tok[order]]                     # [a, H]
+        send_eid = (flat_e % e_loc)[order].astype(jnp.int32)
+
+        # ---- 3. count exchange + ragged all-to-all -------------------
+        cnt = jnp.zeros((ep,), jnp.int32).at[dst].add(1)
+        in_off = (jnp.cumsum(cnt) - cnt).astype(jnp.int32)
+        cnt_mat = jax.lax.all_gather(cnt, "expert")     # [ep(src), ep(dst)]
+        recv_sizes = cnt_mat[:, me].astype(jnp.int32)   # from each src
+        # where my chunk lands at dst d: after every source s < me
+        out_off = ((jnp.cumsum(cnt_mat, axis=0)
+                    - cnt_mat)[me]).astype(jnp.int32)
+        cap = -(-(n_pad * min(top_k, e_loc)) // tile) * tile
+        recv = _ragged_a2a(
+            send_rows, jnp.zeros((cap, h), send_rows.dtype),
+            in_off, cnt, out_off, recv_sizes, "expert")
+        # expert ids ride a second (tiny) ragged exchange; unwritten
+        # rows keep the e_loc init = the FOREIGN marker make_dispatch
+        # drops, so garbage rows can never select expert 0
+        eid = _ragged_a2a(
+            send_eid, jnp.full((cap,), e_loc, jnp.int32),
+            in_off, cnt, out_off, recv_sizes, "expert")
+
+        # ---- 4. grouped MLP over received rows -----------------------
+        plan = make_dispatch(eid[:, None],
+                             jnp.ones((cap, 1), jnp.float32),
+                             e_loc, tile, m_pad=cap + e_loc * tile)
+        xg = gather_tokens(recv, plan)
+        g = grouped_expert_matmul(xg, wg, plan, interpret)
+        u = grouped_expert_matmul(xg, wu, plan, interpret)
+        hg = (jax.nn.silu(g.astype(jnp.float32))
+              * u.astype(jnp.float32)).astype(xl.dtype)
+        y = grouped_expert_matmul(hg, wd, plan, interpret)
+        y_rows = combine_tokens(y, plan, cap)           # received order
+
+        # ---- 5. return rows to their owners --------------------------
+        rev_in_off = (jnp.cumsum(recv_sizes)
+                      - recv_sizes).astype(jnp.int32)
+        # my returned chunk lands where source s originally packed its
+        # dst=me chunk: after s's chunks for every dst d < me
+        rev_out_off = ((jnp.cumsum(cnt_mat, axis=1)
+                        - cnt_mat)[:, me]).astype(jnp.int32)
+        back = _ragged_a2a(
+            y_rows, jnp.zeros((a, h), y_rows.dtype),
+            rev_in_off, recv_sizes, rev_out_off, cnt,
+            "expert")                                   # my sorted order
+
+        # ---- 6. gate-weighted combine + restore replication ----------
+        w_s = topw.reshape(-1)[order].astype(jnp.float32)
+        y_tok = jnp.zeros((n_loc, h), jnp.float32).at[tok[order]].add(
+            back.astype(jnp.float32) * w_s[:, None])
+        if jax.lax.axis_size("model") > 1:
+            # down-projection partial sums over the sharded I axis
+            y_tok = jax.lax.psum(y_tok, "model")
+        out = jax.lax.all_gather(y_tok.astype(xl.dtype), "expert",
+                                 axis=0, tiled=True)    # [n_pad, H]
+        return out[:n].reshape(b, t, h)
+
+    in_specs = (xs, P(None, None),
+                _weight_shard_spec(we_gate, P("expert", None, "model")),
+                _weight_shard_spec(we_up, P("expert", None, "model")),
+                _weight_shard_spec(we_down, P("expert", "model", None)))
+    return jax.shard_map(inner, mesh=mesh, in_specs=in_specs,
+                         out_specs=xs, check_vma=False)(
+        x, router_w, we_gate, we_up, we_down)
+
+
 def moe_mlp_dense(x: jax.Array, router_w, we_gate, we_up, we_down,
                   top_k: int) -> jax.Array:
     """All-experts compute with gates zeroed for unrouted experts. Exact;
