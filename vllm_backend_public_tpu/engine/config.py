@@ -67,6 +67,13 @@ class EngineConfig:
     # of round 2's 11.4 s TTFT p50. Smaller fusions interleave tighter;
     # steady state (no waiting work) keeps the full fusion.
     mixed_decode_steps: int = 4
+    # speculative decoding (vLLM --num-speculative-tokens): draft K
+    # tokens per round with the host-side n-gram drafter and verify all
+    # K+1 positions in ONE chunked forward; greedy outputs are
+    # bit-identical to non-speculative decode (engine/engine.py
+    # _run_spec_decode). 0 disables. Non-greedy/penalized/logprobs
+    # requests fall back to normal multi-step decode.
+    num_speculative_tokens: int = 0
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
 

@@ -311,7 +311,8 @@ class LLMEngine:
         self.metrics = {"num_steps": 0, "num_prefill_steps": 0,
                         "num_decode_steps": 0, "generated_tokens": 0,
                         "preemptions": 0, "decode_step_ms_ema": 0.0,
-                        "prefill_step_ms_ema": 0.0}
+                        "prefill_step_ms_ema": 0.0,
+                        "spec_rounds": 0, "spec_emitted": 0}
 
     # ------------------------------------------------------------------ setup
 
@@ -583,6 +584,59 @@ class LLMEngine:
 
         self._first_tokens_fn = jax.jit(first_tokens, donate_argnums=(0,))
 
+        K_spec = self.econfig.num_speculative_tokens
+        if K_spec > 0:
+            T = K_spec + 1
+
+            def spec_step(params, cache, tokens, kv_lens, bt, active):
+                """One speculative round: verify K drafts in ONE forward.
+
+                tokens [W, T] = (carry token t0, drafts d1..dK); like
+                decode's new token, t0's KV is not in the cache yet. The
+                chunked-prefill forward (causal in-chunk + cached
+                prefix) writes ALL T tokens' KV optimistically —
+                rejected drafts' slots sit BEYOND the committed kv_len,
+                are never read (attention masks at kv_len), and the next
+                round's writes overwrite them. Greedy verification:
+                argmax at position i is the model's true token after
+                t0..d_i, so the longest matching draft prefix plus the
+                model's own next token (`bonus`) is exactly what
+                non-speculative greedy decode would have produced —
+                outputs are bit-identical, rounds just emit acc+1
+                tokens per weight stream. This is the TPU answer to the
+                deployed reference engine's speculative decoding
+                (vllm-openai v0.9.1 --num-speculative-tokens).
+                """
+                W = tokens.shape[0]
+                positions = (kv_lens[:, None]
+                             + jnp.arange(T, dtype=jnp.int32)[None, :])
+                wm = jnp.broadcast_to(active[:, None], tokens.shape)
+                attn = AttnInputs(
+                    block_tables=bt,
+                    kv_lens=kv_lens + T * active.astype(jnp.int32),
+                    positions=positions, write_mask=wm)
+                hidden, cache = fwd(params, cfg, tokens, attn, cache,
+                                    attn_impl=impl)
+                h = hidden.reshape(W * T, -1)
+                logits = logits_fn(params, h).reshape(W, T, -1)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                drafts = tokens[:, 1:]                     # [W, K]
+                match = (pred[:, :-1] == drafts).astype(jnp.int32)
+                acc = jnp.cumprod(match, axis=1).sum(axis=1)   # [W]
+                bonus = jnp.take_along_axis(pred, acc[:, None],
+                                            axis=1)[:, 0]
+                k_ar = jnp.arange(K_spec, dtype=jnp.int32)[None, :]
+                emit = jnp.concatenate(
+                    [jnp.where(k_ar < acc[:, None], drafts, 0),
+                     jnp.zeros((W, 1), jnp.int32)], axis=1)
+                emit = emit.at[jnp.arange(W), acc].set(bonus)  # [W, T]
+                n_emit = jnp.where(active, acc + 1, 0).astype(jnp.int32)
+                return emit, n_emit, kv_lens + n_emit, cache
+
+            self._spec_fn = jax.jit(
+                spec_step, donate_argnums=(1,),
+                out_shardings=(None, None, None, cache_fmt))
+
     # ------------------------------------------------------------- admission
 
     def add_request(self, prompt_token_ids: Sequence[int],
@@ -781,6 +835,19 @@ class LLMEngine:
             self._upload_dev_state()
         dev = self._dev
 
+        if self.econfig.num_speculative_tokens > 0:
+            slots = [r.slot for r in plan.requests]
+            eligible = (
+                dev["greedy"]
+                and not any(r.sampling.logprobs is not None
+                            for r in plan.requests)
+                and all(self._samp["presence"][s] == 0.0
+                        and self._samp["frequency"][s] == 0.0
+                        and self._samp["repetition"][s] == 1.0
+                        for s in slots))
+            if eligible:
+                return self._run_spec_decode(plan)
+
         K = self.econfig.decode_steps_per_call
         if self.scheduler.num_waiting and self.econfig.max_consecutive_prefills:
             # prompts are queued: a full K-step fusion would hold the
@@ -832,6 +899,59 @@ class LLMEngine:
                             [float(v) for v in tv[i, r]]))})
             outputs.append(self._apply_decode_tokens(
                 req, [int(t) for t in toks_host[:, r]]))
+        return outputs
+
+    @staticmethod
+    def _draft_ngram(history: np.ndarray, k: int) -> np.ndarray:
+        """Propose k draft tokens by bigram lookup (vLLM's [ngram]
+        speculator): find the most recent earlier occurrence of the last
+        two tokens and copy the k tokens that followed; pad / fall back
+        by repeating the last token (cheap, and exact for the repetition
+        loops greedy decoding falls into)."""
+        n = history.shape[0]
+        out = np.full((k,), history[-1] if n else 0, np.int32)
+        if n >= 3:
+            a, b = history[-2], history[-1]
+            hits = np.where((history[:-2] == a) & (history[1:-1] == b))[0]
+            if hits.size:
+                start = int(hits[-1]) + 2
+                cont = history[start:start + k]
+                out[:cont.shape[0]] = cont
+        return out
+
+    def _run_spec_decode(self, plan) -> List[RequestOutput]:
+        """One speculative round (greedy-only; see spec_step)."""
+        dev = self._dev
+        K_spec = self.econfig.num_speculative_tokens
+        T = K_spec + 1
+        W = len(dev["rows"])
+        row_of = dev["row_of"]
+        tok_mat = np.zeros((W, T), np.int32)
+        for req in plan.requests:
+            r = row_of[req.slot]
+            tok_mat[r, 0] = self._last[req.slot]
+            hist = np.asarray(req.prompt_token_ids + req.output_token_ids,
+                              np.int32)
+            tok_mat[r, 1:] = self._draft_ngram(hist, K_spec)
+        emit, n_emit, new_kv, self.cache = self._spec_fn(
+            self.params, self.cache, jnp.asarray(tok_mat),
+            dev["kv_lens"], dev["bt"], dev["active"])
+        dev["kv_lens"] = new_kv
+        emit_h = np.asarray(jax.device_get(emit))
+        n_h = np.asarray(jax.device_get(n_emit))
+        outputs = []
+        for req in plan.requests:
+            s = req.slot
+            r = row_of[s]
+            k = int(n_h[r])
+            toks = [int(t) for t in emit_h[r, :k]]
+            self._kv_lens[s] += k
+            self._last[s] = toks[-1]
+            self._samp["steps"][s] += k
+            self.metrics["spec_rounds"] += 1
+            self.metrics["spec_emitted"] += k
+            outputs.append(self._apply_decode_tokens(req, toks))
+        dev["tokens"] = jnp.asarray(self._last[dev["rows"]])
         return outputs
 
     def _apply_decode_tokens(self, req: Request,

@@ -274,7 +274,8 @@ class Scheduler:
 
     def _ensure_decode_blocks(self, out: SchedulerOutput) -> None:
         """Every running seq needs capacity for the next multi-step chunk."""
-        lookahead = self.cfg.decode_steps_per_call
+        lookahead = max(self.cfg.decode_steps_per_call,
+                        self.cfg.num_speculative_tokens + 1)
         for req in list(self.running):
             self._recycle_window_blocks(req)
             need_tokens = min(req.num_tokens + lookahead,
