@@ -120,14 +120,14 @@ def random_params_on_device(cfg, quant):
             "lm_head": w((h, v))}
 
 
-def build_engine(cfg, args, quant, kv_dtype):
+def build_engine(cfg, args, quant, kv_dtype, **overrides):
     from vllm_backend_public_tpu.engine.config import EngineConfig
     from vllm_backend_public_tpu.engine.engine import LLMEngine
 
     params = random_params_on_device(cfg, quant)
     B = args.batch
     mb = -(-args.max_model_len // args.block_size)
-    econ = EngineConfig(
+    kw = dict(
         model=args.model, dtype="bfloat16", quantization=quant,
         kv_cache_dtype=kv_dtype,
         block_size=args.block_size, max_num_seqs=B,
@@ -138,6 +138,8 @@ def build_engine(cfg, args, quant, kv_dtype):
         # throughput bench: drain all prefills first so the timed loop is
         # pure steady-state decode (0 = no prefill/decode interleaving)
         max_consecutive_prefills=0)
+    kw.update(overrides)
+    econ = EngineConfig(**kw)
     return LLMEngine(econ, model_cfg=cfg, params=params)
 
 
@@ -173,7 +175,8 @@ def throughput_phase(engine, cfg, args):
     return done / dt, dt / (n_calls * args.multi_step)
 
 
-def serving_phase(engine, cfg, args, n_tokens=64, seed=1):
+def serving_phase(engine, cfg, args, n_tokens=64, seed=1,
+                  prompt_lens=None, temperature=0.0, n_requests=None):
     """Mixed prefill/decode serving: TTFT + per-token ITL percentiles.
 
     Run once with a throwaway seed first (warmup): the mixed phase
@@ -181,17 +184,26 @@ def serving_phase(engine, cfg, args, n_tokens=64, seed=1):
     (ramp-up decode widths x mixed/full fusion depths x prefill row
     counts), and a cold 25 s XLA compile landing inside a timed chunk
     would report as a fake 25,000 ms ITL spike.
+
+    prompt_lens: per-request prompt lengths, cycled (default: all
+    args.prompt_len). temperature > 0 samples (per-request seeded
+    streams) instead of greedy — together these are the
+    "mixed-length sampled" workload: the reference's engine contract is
+    arbitrary /v1/completions traffic, not one fixed shape
+    (reference benchmark-deployer/docs/deployment/post_run.md:46).
     """
     from vllm_backend_public_tpu.engine.request import SamplingParams
 
     engine.econfig.max_consecutive_prefills = 2
     rng = np.random.default_rng(seed)
-    sp = SamplingParams(max_tokens=n_tokens, temperature=0.0,
-                       ignore_eos=True)
+    lens = list(prompt_lens or [args.prompt_len])
+    sp = SamplingParams(max_tokens=n_tokens, temperature=temperature,
+                        seed=int(seed), ignore_eos=True)
     ids = []
-    for _ in range(args.batch):
+    for i in range(n_requests or args.batch):
+        plen = lens[i % len(lens)]
         ids.append(engine.add_request(
-            rng.integers(0, cfg.vocab_size, size=args.prompt_len).tolist(),
+            rng.integers(0, cfg.vocab_size, size=plen).tolist(),
             sp))
     ttft = {}
     itl = []
@@ -216,6 +228,98 @@ def serving_phase(engine, cfg, args, n_tokens=64, seed=1):
         "itl_mean_ms": round(float(itl_v.mean()), 3),
         "itl_p99_ms": round(float(np.percentile(itl_v, 99)), 3),
     }
+
+
+def mixed_serving_phase(cfg, args, quant):
+    """Mixed-length (128/1k/4k), SAMPLED (temperature 0.8) serving.
+
+    The standard serving phase is one fixed shape; the reference's
+    engine contract is arbitrary /v1/completions traffic, so this phase
+    measures TTFT/ITL tails when long prompts chunk through the prefill
+    budget while short ones decode sampled. Runs on its own engine
+    (4k prompts need a bigger max_model_len / pool than the throughput
+    config); warmup pass first, then the timed pass.
+    """
+    import copy
+    import gc
+
+    a2 = copy.copy(args)
+    a2.max_model_len = 4096 + 128
+    a2.batch = 24
+    mb = -(-a2.max_model_len // a2.block_size)
+    engine = build_engine(cfg, a2, quant, args.kv_dtype,
+                          num_kv_blocks=8 * (1 + 5 + mb) + 32,
+                          max_consecutive_prefills=2)
+    lens = [128, 1024, 4096]
+    serving_phase(engine, cfg, a2, prompt_lens=lens, temperature=0.8,
+                  n_requests=24, seed=5)            # warmup (compiles)
+    out = serving_phase(engine, cfg, a2, prompt_lens=lens,
+                        temperature=0.8, n_requests=24, seed=6)
+    del engine
+    gc.collect()
+    return {f"mixed_{k}": v for k, v in out.items()}
+
+
+def run_spec_bench(args, quant):
+    """--spec mode: speculative vs plain greedy decode at batch 8.
+
+    Same engine, spec toggled via econfig (the fallback check reads it
+    per step); outputs must be IDENTICAL — speculation only changes how
+    many weight streams the tokens cost. Prints its own JSON line.
+    """
+    import copy
+
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    cfg = flagship_cfg(args.model)
+    a2 = copy.copy(args)
+    a2.batch = 8
+    engine = build_engine(cfg, a2, quant, args.kv_dtype,
+                          num_speculative_tokens=args.spec)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, size=128).tolist()
+               for _ in range(8)]
+    sp = SamplingParams(max_tokens=192, temperature=0.0, ignore_eos=True)
+
+    def timed():
+        t0 = time.perf_counter()
+        outs = engine.generate(prompts, sp)
+        dt = time.perf_counter() - t0
+        toks = [list(o.output_token_ids) for o in outs]
+        return toks, sum(len(t) for t in toks) / dt
+
+    engine.econfig.num_speculative_tokens = 0
+    timed()                                        # warmup/compile
+    plain_toks, plain_tps = timed()
+    engine.econfig.num_speculative_tokens = args.spec
+    timed()                                        # warmup/compile
+    m0 = dict(engine.metrics)
+    spec_toks, spec_tps = timed()
+    rounds = engine.metrics["spec_rounds"] - m0["spec_rounds"]
+    emitted = engine.metrics["spec_emitted"] - m0["spec_emitted"]
+    # Verification argmaxes the SAME model, so spec == plain exactly
+    # when scoring is deterministic — the f32 CPU parity suite
+    # (tests/test_spec_decode.py) pins that. On bf16 + w8a8 the decode
+    # and verify programs have different matmul shapes, whose low-bit
+    # logit differences flip near-tie argmaxes occasionally (random
+    # weights sit in near-tie repetition cycles constantly, real
+    # checkpoints rarely) — report the prefix-match stats rather than
+    # pretending bitwise equality across differently-shaped programs.
+    n_tok = sum(len(t) for t in plain_toks)
+    n_match = sum(
+        next((j for j in range(min(len(p), len(s))) if p[j] != s[j]),
+             min(len(p), len(s)))
+        for p, s in zip(plain_toks, spec_toks))
+    print(json.dumps({
+        "metric": f"spec_decode_{args.model}_k{args.spec}_b8",
+        "plain_tok_s": round(plain_tps, 1),
+        "spec_tok_s": round(spec_tps, 1),
+        "speedup": round(spec_tps / plain_tps, 3),
+        "tokens_per_round": round(emitted / max(rounds, 1), 3),
+        "seqs_identical": sum(p == s for p, s in
+                              zip(plain_toks, spec_toks)),
+        "prefix_match_frac": round(n_match / max(n_tok, 1), 4),
+    }))
 
 
 def main():
@@ -251,6 +355,12 @@ def main():
                          "weights + bf16 KV) when it fits the chip and "
                          "report the speedup ratio (BASELINE.md >=1.8x "
                          "target); skip: quantized run only")
+    ap.add_argument("--skip-mixed", action="store_true",
+                    help="skip the mixed-length sampled serving phase")
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="run the speculative-decoding benchmark "
+                         "(K drafts/round, batch 8) instead of the "
+                         "standard phases")
     args = ap.parse_args()
 
     import jax
@@ -260,6 +370,10 @@ def main():
     cfg = flagship_cfg(args.model)
     quant = None if args.quant in (None, "none") else args.quant
     B = args.batch
+
+    if args.spec:
+        run_spec_bench(args, quant)
+        return
 
     engine = build_engine(cfg, args, quant, args.kv_dtype)
     toks_per_s, step_s = throughput_phase(engine, cfg, args)
@@ -313,6 +427,19 @@ def main():
             del eng16
         gc.collect()
 
+    mixed = {}
+    if not args.skip_mixed:
+        try:
+            import gc
+            try:
+                del engine      # may already be gone (vs_fp16 auto run)
+            except NameError:
+                pass
+            gc.collect()
+            mixed = mixed_serving_phase(cfg, args, quant)
+        except Exception as e:       # never lose the headline JSON line
+            print(f"# mixed serving phase failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip_"
                   f"{args.model}_{quant or 'bf16'}_b{B}",
@@ -322,6 +449,7 @@ def main():
         "vs_fp16": vs_fp16,
         "vs_fp16_model": vs_fp16_model,
         **serving,
+        **mixed,
     }))
     print(f"# step={step_s * 1e3:.2f} ms  "
           f"sol_step={sol_step * 1e3:.2f} ms  device={kind}  "

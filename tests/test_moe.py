@@ -267,3 +267,50 @@ def test_grouped_ep_quantized_matches_dense(eight_cpu_devices, kind):
     tol = 3e-2 if kind == "w8a8" else 2e-3
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=tol, atol=tol)
+
+
+def test_pp_mixtral_prefill_grouped(eight_cpu_devices, monkeypatch):
+    """MoE under PIPELINE parallelism (no expert axis): round 3 forced
+    dense expert compute for ALL of PP; each stage holds its layers'
+    experts fully, so the LOCAL auto path applies — grouped (top-k/E
+    FLOPs) for prefill-sized token counts, dense at decode. Parity at
+    pp=2 with a >512-token prompt, and the grouped path must actually
+    run during prefill (VERDICT round-3 #9)."""
+    from vllm_backend_public_tpu.engine.config import EngineConfig
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    cfg = parse_hf_config({
+        "architectures": ["MixtralForCausalLM"], "vocab_size": 128,
+        "hidden_size": 32, "intermediate_size": 48,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "num_local_experts": 4,
+        "num_experts_per_tok": 2, "max_position_embeddings": 2048,
+        "rms_norm_eps": 1e-5})
+    params = mx.init_random_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 128, size=600).tolist()]
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    def run(**over):
+        kw = dict(model="moe", dtype="float32", block_size=8,
+                  max_num_seqs=2, max_model_len=640, num_kv_blocks=180,
+                  max_num_batched_tokens=1024,
+                  enable_prefix_caching=False)
+        kw.update(over)
+        eng = LLMEngine(EngineConfig(**kw), model_cfg=cfg, params=params)
+        return [list(o.output_token_ids)
+                for o in eng.generate(prompts, sp)]
+
+    ref = run()
+    calls = {"grouped": 0}
+    orig = mx.moe_mlp_grouped
+
+    def spy(*a, **k):
+        calls["grouped"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mx, "moe_mlp_grouped", spy)
+    pp = run(pipeline_parallel_size=2, pipeline_microbatches=2)
+    assert pp == ref
+    assert calls["grouped"] > 0, "PP prefill did not take the grouped path"

@@ -222,14 +222,25 @@ class LLMEngine:
                                or (pref != "psum" and ep_size > 2))
                     set_moe_impl("grouped_ep_a2a" if use_a2a
                                  else "grouped_ep", self.mesh)
-                else:
+                elif self.mesh.shape.get("expert", 1) > 1:
                     # the pipelined forward already shard_maps over
-                    # "pipe"; nesting the MoE shard_map inside it is not
-                    # supported — dense + GSPMD psum is the PP fallback
+                    # "pipe"; nesting the MoE EP shard_map inside it is
+                    # not supported — dense + GSPMD psum is the PP x EP
+                    # fallback
                     logger.warning(
-                        "pipeline parallelism: MoE falls back to dense "
-                        "expert compute (all experts per token)")
+                        "pipeline x expert parallelism: MoE falls back "
+                        "to dense expert compute (all experts per token)")
                     set_moe_impl("dense")
+                else:
+                    # PP without an expert axis: every stage holds its
+                    # layers' experts fully, so the LOCAL auto path
+                    # needs no shard_map — dense at decode token counts
+                    # (expert weights stream once per step either way;
+                    # grouped dispatch measured 7x slower there), the
+                    # grouped top-k/E FLOP saving at prefill (>= 512
+                    # tokens). Round-3 forced dense for ALL of PP, which
+                    # paid all-E FLOPs on prefill too.
+                    set_moe_impl("auto")
 
         num_blocks = econfig.num_kv_blocks or self._auto_num_blocks()
         if self.mesh is not None:

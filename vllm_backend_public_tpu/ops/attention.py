@@ -48,6 +48,18 @@ try:
 except (KeyError, ValueError):
     _SEQ_INTERLEAVE = None
 
+# int8 KV pages: run the QK contraction as int8 x int8 on the MXU
+# instead of converting the K page to bf16. The page convert is the
+# kernel's single biggest non-DMA term (S*NKV*BS*D elements per grid
+# step, ~2.1M for k alone at S=8 bs=256 — ~2 us of VPU time vs ~5 us of
+# page DMA); quantizing q instead costs only S*NKV*G*D (~32k) elements
+# per step. q is quantized per (seq, head, row) at 127 levels, adding
+# <0.5% relative error to scores. MEASURED PERF-NEUTRAL on v5e (the
+# kernel is bound by cold-page DMA at ~460 GB/s, not VPU converts), so
+# it defaults OFF to keep the int8-KV path's scores bit-exact vs the
+# XLA reference; "1" enables for experiments.
+_QK_INT8 = _os.environ.get("VBPT_ATTN_QK_INT8", "0") == "1"
+
 # Run the Pallas kernels in interpreter mode (pure-JAX emulation) so the
 # kernel code paths — including the shard_map TP wrapping — are testable
 # on the CPU mesh. Read at trace time via the module attribute.
@@ -57,6 +69,236 @@ INTERPRET = _os.environ.get("VBPT_ATTN_INTERPRET", "") == "1"
 def set_interpret(flag: bool) -> None:
     global INTERPRET
     INTERPRET = bool(flag)
+
+
+# Head-concat kernel: per grid step, concatenate the S sequences' page
+# blocks along the TOKEN axis per kv head and run ONE batched dot over
+# heads — 2*NKV MXU ops per grid step instead of 2*S*NKV. The decode
+# kernel is MXU-ISSUE-bound, not FLOP- or DMA-bound: at B=64 S=8 the
+# round-4 bisection measured ~60 us/layer of fixed overhead that tracks
+# total MXU op count (~58 ns/op at 1024 ops/layer) and is independent
+# of batch, S, and KV dtype. Cross-sequence score blocks are masked
+# (block-diagonal keep), paying S x the FLOPs — irrelevant, since the
+# MXU sits idle on issue latency either way.
+_HEADCAT = _os.environ.get("VBPT_ATTN_HEADCAT", "1") != "0"
+
+
+def _prefix_kernel_hc(*args, bs: int, scale: float,
+                      window=None, quant: bool = False,
+                      stacked: bool = False, S: int = 1,
+                      pending: bool = False, newkv: bool = False,
+                      finalize: bool = False, group: int = 0,
+                      rowwise: bool = False, pend_k_major: bool = False):
+    """Head-concat variant of _prefix_kernel (same operand contract).
+
+    State lives head-major: scores [NKV, S*QT, S*BS], online-softmax
+    state [NKV, S*QT, 1], accumulator [NKV, S*QT, D]. Row r belongs to
+    sequence r // QT; column c to sequence c // BS; the keep mask is
+    block-diagonal x per-sequence valid length (x window). See
+    _prefix_kernel for the pending/newkv/finalize merge semantics —
+    identical here, with the same concat layout.
+    """
+    off = 1 if stacked else 0
+    pref = off + 2 + (1 if window is not None else 0) + (1 if pending else 0)
+    bt_ref, kl_ref = args[off], args[off + 1]
+    qp_ref = args[off + 2] if window is not None else kl_ref
+    cnt_ref = args[pref - 1] if pending else None
+    refs = list(args[pref:])
+    q_ref = refs[0]
+    k_refs = refs[1:1 + S]
+    v_refs = refs[1 + S:1 + 2 * S]
+    idx = 1 + 2 * S
+    if quant:
+        ks_refs = refs[idx:idx + S]
+        vs_refs = refs[idx + S:idx + 2 * S]
+        idx += 2 * S
+    else:
+        ks_refs = vs_refs = [None] * S
+    if pending:
+        pk_ref, pv_ref = refs[idx:idx + 2]
+        idx += 2
+    if newkv:
+        kn_ref, vn_ref = refs[idx:idx + 2]
+        idx += 2
+    o_ref, m_ref, l_ref, acc_ref, m_s, l_s = refs[idx:]
+
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+    i = pl.program_id(2)
+    mb = pl.num_programs(2)
+    nkv, qt, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    R = S * qt
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    process = None
+    for j in range(S):
+        ok_j = (kl_ref[bi * S + j] - i * bs) > 0
+        if window is not None:
+            ok_j &= (i * bs + bs - 1) > (qp_ref[bi * S + j] - window)
+        process = ok_j if process is None else (process | ok_j)
+
+    def cat_mask(C_blk, col_valid):
+        """Block-diagonal keep over [R, S*C_blk]: row r (seq r // qt)
+        may see column c only when c // C_blk == r // qt AND
+        col_valid(j, c % C_blk, r % qt) holds for that sequence."""
+        C = S * C_blk
+        colc = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        rowr = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        cc = colc % C_blk
+        keep = None
+        for j in range(S):
+            blk = ((colc // C_blk) == j) & ((rowr // qt) == j)
+            mj = blk & col_valid(j, cc, rowr % qt)
+            keep = mj if keep is None else (keep | mj)
+        return keep
+
+    if _os.environ.get("VBPT_ATTN_NOCOMPUTE", "") == "1":
+        process = process & (i < 0)  # perf-bisect: DMA + harness only
+
+    @pl.when(process)
+    def _():
+        qv = q_ref[...]                                # [S, NKV, QT, D]
+        q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
+        k_cat = jnp.concatenate([k_refs[j][0] for j in range(S)],
+                                axis=1)                # [NKV, S*BS, D]
+        qk_i8 = quant and _QK_INT8 and k_cat.dtype == jnp.int8
+        if qk_i8:
+            qf = q_cat.astype(jnp.float32)
+            aq = jnp.max(jnp.abs(qf), axis=2, keepdims=True)
+            sq = jnp.maximum(aq / 127.0, 1e-8)         # [NKV, R, 1]
+            lhs = jnp.clip(jnp.round(qf / sq), -127,
+                           127).astype(jnp.int8)
+        else:
+            if k_cat.dtype == jnp.int8:
+                k_cat = k_cat.astype(jnp.bfloat16)
+            lhs = q_cat.astype(k_cat.dtype)
+        s = jax.lax.dot_general(
+            lhs, k_cat, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=(jnp.int32 if qk_i8
+                                    else jnp.float32))
+        s = s.astype(jnp.float32) * scale              # [NKV, R, S*BS]
+        if qk_i8:
+            s = s * sq
+        if quant:
+            ks_cat = jnp.concatenate([ks_refs[j][0] for j in range(S)],
+                                     axis=1)           # [NKV, S*BS]
+            s = s * ks_cat[:, None, :]
+
+        def page_valid(j, cc, rt):
+            mj = cc < (kl_ref[bi * S + j] - i * bs)
+            if window is not None:
+                qpos_j = qp_ref[bi * S + j]
+                if rowwise:
+                    qrow = qpos_j + (qi * qt + rt) // group
+                    mj &= (cc + i * bs) > (qrow - window)
+                else:
+                    mj &= (cc + i * bs) > (qpos_j - window)
+            return mj
+
+        keep = cat_mask(bs, page_valid)                # [R, S*BS]
+        s = jnp.where(keep[None], s, NEG_INF)
+        m_prev = m_s[...]                              # [NKV, R, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        # universal remask — see _prefix_kernel (also zeroes the
+        # cross-sequence blocks exactly)
+        p = jnp.where(keep[None], p, 0.0)
+        l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if quant:
+            vs_cat = jnp.concatenate([vs_refs[j][0] for j in range(S)],
+                                     axis=1)
+            p = p * vs_cat[:, None, :]
+        v_cat = jnp.concatenate([v_refs[j][0] for j in range(S)], axis=1)
+        if v_cat.dtype == jnp.int8:
+            v_cat = v_cat.astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v_cat.dtype), v_cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        m_s[...] = m_new
+
+    @pl.when(i == mb - 1)
+    def _():
+        if pending:
+            @pl.when(cnt_ref[0] > 0)
+            def _():
+                cnt = cnt_ref[0]
+                qv = q_ref[...].astype(jnp.float32)
+                q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
+                kp = pk_ref[...]
+                vp = pv_ref[...]
+                if pend_k_major:                       # [K, S, NKV, D]
+                    kp_cat = kp.transpose(2, 1, 0, 3)  # [NKV, S, K, D]
+                    vp_cat = vp.transpose(2, 1, 0, 3)
+                else:                                  # [S, NKV, K, D]
+                    kp_cat = kp.transpose(1, 0, 2, 3)
+                    vp_cat = vp.transpose(1, 0, 2, 3)
+                kk = kp_cat.shape[2]
+                kp_cat = kp_cat.reshape(nkv, S * kk, d).astype(jnp.float32)
+                vp_cat = vp_cat.reshape(nkv, S * kk, d).astype(jnp.float32)
+                sp = jax.lax.dot_general(
+                    q_cat, kp_cat, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale
+
+                def pend_valid(j, cc, rt):
+                    mj = cc < cnt
+                    if window is not None:
+                        mj &= ((cc + kl_ref[bi * S + j])
+                               > (qp_ref[bi * S + j] - window))
+                    return mj
+
+                keep = cat_mask(kk, pend_valid)        # [R, S*K]
+                sp = jnp.where(keep[None], sp, NEG_INF)
+                m_prev = m_s[...]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(sp, axis=2, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(sp - m_new)
+                p = jnp.where(keep[None], p, 0.0)
+                l_s[...] = l_s[...] * alpha + jnp.sum(p, axis=2,
+                                                      keepdims=True)
+                acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+                    p, vp_cat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m_s[...] = m_new
+        if newkv:
+            qv = q_ref[...].astype(jnp.float32)        # [S, NKV, QT, D]
+            q4 = qv.transpose(1, 0, 2, 3)              # [NKV, S, QT, D]
+            kn = kn_ref[...].astype(jnp.float32)       # [S, NKV, D]
+            vn = vn_ref[...].astype(jnp.float32)
+            kn_t = kn.transpose(1, 0, 2)               # [NKV, S, D]
+            vn_t = vn.transpose(1, 0, 2)
+            s1 = jnp.sum(q4 * kn_t[:, :, None, :], axis=3,
+                         keepdims=True) * scale        # [NKV, S, QT, 1]
+            s1 = s1.reshape(nkv, R, 1)
+            m_prev = m_s[...]
+            m_new = jnp.maximum(m_prev, s1)
+            alpha = jnp.exp(m_prev - m_new)
+            p1 = jnp.exp(s1 - m_new)
+            l_s[...] = l_s[...] * alpha + p1
+            upd = (p1.reshape(nkv, S, qt, 1)
+                   * vn_t[:, :, None, :]).reshape(nkv, R, d)
+            acc_ref[...] = acc_ref[...] * alpha + upd
+            m_s[...] = m_new
+
+        def to_out(x):
+            # [NKV, S*QT, *] -> [S, NKV, QT, *]
+            last = x.shape[-1]
+            return x.reshape(nkv, S, qt, last).transpose(1, 0, 2, 3)
+
+        if finalize:
+            o_ref[...] = to_out(
+                acc_ref[...] / jnp.maximum(l_s[...], 1e-30)
+            ).astype(o_ref.dtype)
+        else:
+            o_ref[...] = to_out(acc_ref[...]).astype(o_ref.dtype)
+        m_ref[...] = to_out(m_s[...])
+        l_ref[...] = to_out(l_s[...])
 
 
 def _prefix_kernel(*args, bs: int, scale: float,
@@ -158,24 +400,39 @@ def _prefix_kernel(*args, bs: int, scale: float,
         # modes — in-kernel rank fix-ups would need memref slices
         # that Mosaic rejects at block_size < 128 lanes
         qv = q_ref[...]                                # [S, NKV, QT, D]
+        qk_i8 = quant and _QK_INT8 and k_refs[0].dtype == jnp.int8
+        sq = None
+        if qk_i8:
+            # quantize q (tiny: S*NKV*QT*D elems) so the K page feeds
+            # the MXU as stored int8 — skipping the k page's
+            # int8->bf16 convert, the kernel's biggest non-DMA term
+            # (~half the S*NKV*BS*D*2 converted elements per grid step)
+            qf = qv.astype(jnp.float32)
+            aq = jnp.max(jnp.abs(qf), axis=3, keepdims=True)
+            sq = jnp.maximum(aq / 127.0, 1e-8)         # [S, NKV, QT, 1]
+            q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
         s_parts = []
         for j in range(S):
             k = k_refs[j][0]                           # [NKV, BS, D]
+            if qk_i8:
+                s_parts.append(jax.lax.dot_general(
+                    q8[j], k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32))
+                continue
             if k.dtype == jnp.int8:
                 # bf16 feeds the MXU natively; the [NKV, BS, D]-sized
                 # dequant multiplies are NOT done here — the per-(head,
                 # token) scales factor out of both contractions and fold
                 # into s and p instead ([NKV, G, BS]-sized, a D/G x
-                # smaller VPU job; measured ~110 us/layer saved). Full
-                # int8 x int8 MXU contractions were tried and measured
-                # SLOWER (206 vs 177 us/layer at ctx 160, 553 vs 463 at
-                # ctx 1024): the in-kernel q/p quantization VPU work
-                # exceeds the MXU-rate saving at decode's tiny G.
+                # smaller VPU job; measured ~110 us/layer saved).
                 k = k.astype(jnp.bfloat16)
             s_parts.append(jax.lax.dot_general(
                 qv[j].astype(k.dtype), k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32))
-        s = jnp.stack(s_parts) * scale                 # [S, NKV, QT, BS]
+        if qk_i8:
+            s = jnp.stack(s_parts).astype(jnp.float32) * (sq * scale)
+        else:
+            s = jnp.stack(s_parts) * scale             # [S, NKV, QT, BS]
         if quant:
             ksv = jnp.stack([ks_refs[j][0] for j in range(S)])
             s = s * ksv[:, :, None, :]
@@ -526,28 +783,49 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                 S = cand
                 break
 
-    flat_bt = block_tables.reshape(-1)
     if window is not None and qpos_lens is None:
         qpos_lens = prefix_lens
 
+    # Pre-clamp the block table in XLA (vectorized, ~free): OOB steps
+    # point at the last valid page so Mosaic's pipeline skips the
+    # duplicate fetch; with a sliding window, below-window steps clamp
+    # to the first in-window page. Doing this HERE keeps the kernel's
+    # per-operand index maps to a single SMEM load — the round-4
+    # bisection measured ~52 us/layer of harness overhead at B=64 S=8
+    # that scales with (grid steps x operands x index-map length): the
+    # scalar core runs every operand's map at every grid step, so a
+    # 10-op clamp chain across 32 page/scale operands dominated the
+    # kernel's non-DMA time (NOCOMPUTE experiment, this file's log in
+    # ARCHITECTURE.md round 4).
+    steps_ar = jnp.arange(mb, dtype=jnp.int32)[None, :]
+    last_pg = jnp.maximum((prefix_lens + bs - 1) // bs - 1, 0)
+    iic = jnp.minimum(steps_ar, last_pg[:, None])
+    if window is not None:
+        first_pg = jnp.maximum(
+            (jnp.asarray(qpos_lens, jnp.int32) - window + 1) // bs, 0)
+        iic = jnp.maximum(iic, first_pg[:, None])
+    flat_bt = jnp.take_along_axis(block_tables, iic, axis=1).reshape(-1)
+
+    # Fold stacked pools to 4-D: a 5-D operand with a dropped layer dim
+    # fetches page blocks at ~310 GB/s on v5e where the IDENTICAL 4-D
+    # fetch runs at full ~820 GB/s (measured round 4: 103 vs 22 us for
+    # 32 MB of pages through a trivial kernel — the whole ~52 us/layer
+    # "fixed" kernel overhead was this). The reshape of a contiguous
+    # row-major pool is metadata-only; pages index as layer*NB + block.
+    if stacked:
+        k_pages = k_pages.reshape((-1,) + k_pages.shape[2:])
+        v_pages = v_pages.reshape((-1,) + v_pages.shape[2:])
+        if k_scale is not None:
+            k_scale = k_scale.reshape((-1,) + k_scale.shape[2:])
+            v_scale = v_scale.reshape((-1,) + v_scale.shape[2:])
+
     def page_index_j(j):
         def index(bi, qi, ii, *pref):
-            # clamp OOB steps to the last valid page so Mosaic's pipeline
-            # skips the duplicate fetch (same index => no new DMA); with a
-            # sliding window also clamp below-window steps to the first
-            # in-window page
             o = 1 if stacked else 0
-            bt, kl = pref[o], pref[o + 1]
-            bseq = bi * S + j
-            kv_len = kl[bseq]
-            last = jnp.maximum(pl.cdiv(kv_len, bs) - 1, 0)
-            ii = jnp.minimum(ii, last)
-            if window is not None:
-                qp = pref[o + 2][bseq]
-                first = jnp.maximum((qp - window + 1) // bs, 0)
-                ii = jnp.maximum(ii, first)
-            page = (bt[bseq * mb + ii], 0, 0, 0)
-            return (pref[0][0],) + page if stacked else page
+            page = pref[o][(bi * S + j) * mb + ii]
+            if stacked:
+                page = pref[0][0] * nb_pool + page
+            return (page, 0, 0, 0)
         return index
 
     def page_index_js(j):
@@ -559,12 +837,10 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         return (bi, 0, qi, 0)
 
     quant = k_scale is not None
-    # stacked pools: the layer axis is a DROPPED (None) block dim — the
-    # index map picks the layer, the kernel sees [1, NKV, BS, D] page
-    # blocks in both modes (in-kernel rank fix-ups would need memref
-    # slices that Mosaic rejects at block_size < 128 lanes)
-    pg_block = (None, 1, nkv, bs, d) if stacked else (1, nkv, bs, d)
-    ps_block = (None, 1, nkv, bs) if stacked else (1, nkv, bs)
+    # pools are 4-D here in both modes (stacked ones were folded above),
+    # so the kernel always sees [1, NKV, BS, D] page blocks
+    pg_block = (1, nkv, bs, d)
+    ps_block = (1, nkv, bs)
     in_specs = [pl.BlockSpec((S, nkv, qt, d), q_index)]
     operands = [qg]
     in_specs += [pl.BlockSpec(pg_block, page_index_j(j)) for j in range(S)]
@@ -605,17 +881,23 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         p_stacked = pending_kv[0].ndim == 5
         if p_stacked and not stacked:
             raise ValueError("stacked pending buffer needs `layer`")
+        pk_op, pv_op = pending_kv[0], pending_kv[1]
+        kk = pk_op.shape[1]
+        if p_stacked:
+            # fold to 4-D like the pools (5-D dropped-dim fetches run at
+            # ~1/3 bandwidth); block index `lay` covers rows lay*K..+K
+            pk_op = pk_op.reshape((-1,) + pk_op.shape[2:])
+            pv_op = pv_op.reshape((-1,) + pv_op.shape[2:])
 
         def pend_index(bi, qi, ii, *pref):
             if p_stacked:
-                return (pref[0][0], 0, bi, 0, 0)
+                return (pref[0][0], bi, 0, 0)
             return (bi, 0, 0, 0)
 
-        kk = pending_kv[0].shape[1]
-        pend_block = ((None, kk, S, nkv, d) if p_stacked
+        pend_block = ((kk, S, nkv, d) if p_stacked
                       else (S,) + pending_kv[0].shape[1:])
         in_specs += [pl.BlockSpec(pend_block, pend_index)] * 2
-        operands += [pending_kv[0], pending_kv[1]]
+        operands += [pk_op, pv_op]
     if newkv:
         in_specs += [pl.BlockSpec((S, nkv, d), batch_index3)] * 2
         operands += [new_kv[0], new_kv[1]]
@@ -628,6 +910,16 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     if stacked:
         prefetch.insert(0, jnp.asarray(layer, jnp.int32).reshape(1))
 
+    # head-concat kernel keeps state head-major ([NKV, S*QT, *]) so each
+    # grid step issues 2*NKV MXU ops instead of 2*S*NKV (see _HEADCAT)
+    hc = _HEADCAT
+    scratch = ([pltpu.VMEM((nkv, S * qt, d), jnp.float32),
+                pltpu.VMEM((nkv, S * qt, 1), jnp.float32),
+                pltpu.VMEM((nkv, S * qt, 1), jnp.float32)]
+               if hc else
+               [pltpu.VMEM((S, nkv, qt, d), jnp.float32),
+                pltpu.VMEM((S, nkv, qt, 1), jnp.float32),
+                pltpu.VMEM((S, nkv, qt, 1), jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),  # [layer,] block_tables, lens
         grid=(b // S, nqt, mb),
@@ -637,11 +929,7 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             pl.BlockSpec((S, nkv, qt, 1), q_index),
             pl.BlockSpec((S, nkv, qt, 1), q_index),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((S, nkv, qt, d), jnp.float32),
-            pltpu.VMEM((S, nkv, qt, 1), jnp.float32),
-            pltpu.VMEM((S, nkv, qt, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
 
     # q rows per query position: decode's g rows all share one position
@@ -651,7 +939,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
     rowwise = window is not None and group != g
 
     acc, m, l = pl.pallas_call(
-        functools.partial(_prefix_kernel, bs=bs, scale=scale, window=window,
+        functools.partial(_prefix_kernel_hc if hc else _prefix_kernel,
+                          bs=bs, scale=scale, window=window,
                           quant=quant, stacked=stacked, S=S,
                           pending=pending, newkv=newkv, finalize=finalize,
                           group=group, rowwise=rowwise,
@@ -663,7 +952,12 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            # bi/qi revisit no state (scratch resets at ii == 0, outputs
+            # write at ii == mb-1); only the page axis carries the
+            # online-softmax dependency — parallel semantics on the
+            # first two axes lets Mosaic pipeline DMA across sequence
+            # groups
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(*prefetch, *operands)
     return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))

@@ -186,16 +186,24 @@ def _search_awq_scale(X: jnp.ndarray, ws: List[jnp.ndarray], g: int,
 CLIP_GRID = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
 
 
-def _gptq_round(W, X, g: int, ex2, clip_grid=CLIP_GRID):
+def _gptq_round(W, X, g: int, ex2, clip_grid=CLIP_GRID,
+                act_order: bool = True):
     """Error-compensated sequential rounding (GPTQ, arXiv:2210.17323).
 
-    Quantize input-dim rows of W [in, out] in order; after rounding row
-    i, the not-yet-quantized rows absorb the rounding error weighted by
-    the inverse-Hessian column (H = X^T X from calibration rows) — the
-    off-diagonal compensation a per-row RTN can't do. Group scales are
-    (re)computed at group boundaries from the current compensated
-    residual via the activation-weighted clip search. Returns
-    (q int8 [-8, 7] [in, out], scales [in/g, out] f32).
+    Quantize input-dim rows of W [in, out]; after rounding a row, the
+    not-yet-quantized rows absorb the rounding error weighted by the
+    inverse-Hessian column (H = X^T X from calibration rows) — the
+    off-diagonal compensation a per-row RTN can't do.
+
+    act_order=True (round-4 default) processes rows in DESCENDING
+    diag(H) order — the published desc_act fix for exactly the
+    high-curvature-rows-rounded-late failure mode — using GPTQ's
+    "static groups" form: group scales are precomputed on the ORIGINAL
+    contiguous groups (activation-weighted clip search on the
+    uncompensated weights), so storage and the inference kernels keep
+    the plain [in/g, out] contiguous-group layout (no g_idx indirection
+    at runtime); only the rounding/compensation ORDER is permuted.
+    Returns (q int8 [-8, 7] [in, out], scales [in/g, out] f32).
     """
     W = np.array(W, np.float64)
     X = np.asarray(X, np.float64)
@@ -203,29 +211,38 @@ def _gptq_round(W, X, g: int, ex2, clip_grid=CLIP_GRID):
     H = X.T @ X
     damp = 0.01 * float(np.mean(np.diag(H))) + 1e-8
     H[np.diag_indices(in_dim)] += damp
-    Hinv = np.linalg.inv(H)
+
+    # static group scales on the original contiguous groups
+    S = np.zeros((in_dim // g, out), np.float64)
+    for gi in range(in_dim // g):
+        _, sg = _quantize_group_clipped(
+            jnp.asarray(W[gi * g:(gi + 1) * g], jnp.float32), g,
+            jnp.asarray(ex2[gi * g:(gi + 1) * g], jnp.float32), clip_grid)
+        S[gi] = np.asarray(sg, np.float64)[0]
+
+    if act_order:
+        perm = np.argsort(-np.diag(H), kind="stable")
+    else:
+        perm = np.arange(in_dim)
+    Wp = W[perm]
+    Hp = H[np.ix_(perm, perm)]
+    Hinv = np.linalg.inv(Hp)
     U = np.linalg.cholesky(Hinv).T          # upper: Hinv = U^T U
     Q = np.zeros((in_dim, out), np.int8)
-    S = np.zeros((in_dim // g, out), np.float64)
     for i in range(in_dim):
-        gi = i // g
-        if i % g == 0:
-            _, sg = _quantize_group_clipped(
-                jnp.asarray(W[i:i + g], jnp.float32), g,
-                jnp.asarray(ex2[i:i + g], jnp.float32), clip_grid)
-            S[gi] = np.asarray(sg, np.float64)[0]
-        s = S[gi]
-        q = np.clip(np.round(W[i] / s), -8, 7)
-        Q[i] = q.astype(np.int8)
-        err = (W[i] - q * s) / U[i, i]
+        row = perm[i]
+        s = S[row // g]
+        q = np.clip(np.round(Wp[i] / s), -8, 7)
+        Q[row] = q.astype(np.int8)
+        err = (Wp[i] - q * s) / U[i, i]
         if i + 1 < in_dim:
-            W[i + 1:] -= np.outer(U[i, i + 1:], err)
+            Wp[i + 1:] -= np.outer(U[i, i + 1:], err)
     return Q, S.astype(np.float32)
 
 
 def awq_quantize_llama(params, cfg: ModelConfig, tokens: Sequence[int],
                        group_size: int = 128, seq_len: int = 128,
-                       n_rows: int = 512, n_grid: int = 11,
+                       n_rows: int = 1024, n_grid: int = 11,
                        quantize: bool = True, gptq: bool = True,
                        quantize_lm_head: bool = False):
     """Activation-aware int4 quantization of a llama-family param pytree.
