@@ -275,9 +275,20 @@ class LLMEngine:
         param_bytes = sum(x.size * x.dtype.itemsize
                           for x in jax.tree.leaves(self.params))
         capacity = self._hbm_capacity()
-        headroom = capacity - param_bytes - pool_bytes
+        # the multi-step lookahead buffers are long-lived per decode call
+        # and must fit alongside the slab temp (0.54 GB at B=128 K=32 —
+        # omitting them OOM'd b128 x bs256 in round 4)
+        lookahead_bytes = (2 * model_cfg.num_layers
+                           * econfig.decode_steps_per_call
+                           * econfig.max_num_seqs * model_cfg.num_kv_heads
+                           * model_cfg.head_dim
+                           * jnp.dtype(econfig.jnp_dtype()).itemsize)
+        headroom = capacity - param_bytes - pool_bytes - lookahead_bytes
+        # 1 GB margin: logits/sampler-count buffers and fusion workspace
+        # at max_num_seqs=128 measured ~0.7 GB (b128 x bs256 OOM'd with
+        # a 0.5 GB margin in round 4)
         set_kv_write_mode(
-            "slab" if headroom > temp_bytes + (1 << 29) else "point")
+            "slab" if headroom > temp_bytes + (1 << 30) else "point")
 
         from .block_allocator import make_allocator
         self.allocator = make_allocator(

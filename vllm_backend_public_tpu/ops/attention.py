@@ -778,7 +778,11 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             per_seq = (10 * nkv * qt * d
                        + 4 * nkv * bs * d * kv_bytes)
             want = min(want, max(1, 10_000_000 // per_seq))
-        for cand in (32, 16, 8, 4, 2):
+        # S caps at 8: wider interleave never measured faster (S16/bs128
+        # = S8/bs256 in tokens-per-step, 15.77 vs 15.45 ms at b64), and
+        # the head-concat kernel's concat temporaries put S16 x bs128
+        # over the 16MB scoped-VMEM limit (19.5MB compile OOM at b128)
+        for cand in (8, 4, 2):
             if cand <= want and b % cand == 0:
                 S = cand
                 break

@@ -87,7 +87,8 @@ def build_engine(args):
         tensor_parallel_size=args.tensor_parallel_size,
         data_parallel_size=args.data_parallel_size,
         pipeline_parallel_size=getattr(args, "pipeline_parallel_size", 1),
-        expert_parallel_size=getattr(args, "expert_parallel_size", 1))
+        expert_parallel_size=getattr(args, "expert_parallel_size", 1),
+        num_speculative_tokens=getattr(args, "num_speculative_tokens", 0))
     tok = Tokenizer.from_path(args.model)
     return LLMEngine(econ, tokenizer=tok), tok
 
@@ -159,6 +160,11 @@ def main(argv=None):
     ap.add_argument("--data-parallel-size", type=int, default=1)
     ap.add_argument("--pipeline-parallel-size", type=int, default=1)
     ap.add_argument("--expert-parallel-size", type=int, default=1)
+    ap.add_argument("--num-speculative-tokens", type=int, default=0,
+                    help="speculative decoding: draft K tokens per round "
+                         "(host-side n-gram speculator) and verify all "
+                         "K+1 positions in one forward; greedy-only, "
+                         "same flag name as vLLM")
     # multi-host SPMD runtime (TPU pod slice). The TPU-native replacement
     # for vLLM's NCCL/Ray world bring-up (--worker-use-ray etc., reference
     # configs/test_small_model.yaml:25): every host runs this same server
