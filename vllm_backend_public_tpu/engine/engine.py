@@ -566,10 +566,20 @@ class LLMEngine:
 
         cache_fmt = KVCache(*[_dfmt(a) for a in self.cache])
 
+        # the cache's layout must be pinned on BOTH sides of every
+        # program boundary: out_shardings alone still lets XLA pick a
+        # different INPUT layout for the next program's cache parameter,
+        # and the runtime then inserts pool-sized relayout copies
+        # between programs (round-4 prefill trace: 3 x ~3.3 ms copies
+        # per prefill call at a 2.1 GB b64 pool, ~0.4 ms/step at
+        # decode)
+        # statics must pass POSITIONALLY: pjit rejects kwargs once
+        # in_shardings is specified
         self._decode_fn = jax.jit(
             decode_multi, donate_argnums=(1, 2),
-            static_argnames=("greedy_only", "k_steps", "want_logprobs",
-                             "mb_bucket"),
+            static_argnums=(9, 10, 11, 12),
+            in_shardings=(None, cache_fmt, None, None, None, None, None,
+                          None, None),
             out_shardings=(None, cache_fmt, None, None, None, None))
 
         def prefill_step(params, cache, tokens, positions, block_tables,
@@ -586,8 +596,11 @@ class LLMEngine:
                 hidden, last_idx[:, None, None], axis=1)[:, 0]  # [NP, H]
             return logits_fn(params, last_h), cache
 
-        self._prefill_fn = jax.jit(prefill_step, donate_argnums=(1,),
-                                   out_shardings=(None, cache_fmt))
+        self._prefill_fn = jax.jit(
+            prefill_step, donate_argnums=(1,),
+            in_shardings=(None, cache_fmt, None, None, None, None, None,
+                          None),
+            out_shardings=(None, cache_fmt))
 
         def first_tokens(counts, logits, slots, samp_rows, mask):
             # logits [NP, V]; mask [NP] — rows whose prompt completed this
@@ -657,6 +670,7 @@ class LLMEngine:
 
             self._spec_fn = jax.jit(
                 spec_step, donate_argnums=(1,),
+                in_shardings=(None, cache_fmt, None, None, None, None),
                 out_shardings=(None, None, None, cache_fmt))
 
     # ------------------------------------------------------------- admission
@@ -894,8 +908,7 @@ class LLMEngine:
             self.params, self.cache, self._counts,
             dev["tokens"], dev["kv_lens"], dev["bt"],
             dev["active"], dev["samp"], jnp.asarray(dev["rows"]),
-            greedy_only=dev["greedy"], k_steps=K, want_logprobs=want_lp,
-            mb_bucket=mbk)
+            dev["greedy"], K, want_lp, mbk)
         # device state advances in place; host mirrors track it
         dev["tokens"] = toks_buf[K - 1]
         dev["kv_lens"] = new_kv_lens
