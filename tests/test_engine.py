@@ -458,3 +458,51 @@ def test_decode_width_bucketing_equivalence(tiny):
         return [o.output_token_ids for o in eng.generate(prompts, sp)]
 
     assert run(32) == run(2)
+
+
+def test_kv_write_mode_point_matches_slab(tiny):
+    """write_kv_all_layers has two scatter forms (slab: fast but needs a
+    pool-sized HBM temp; point: strictly in place). The engine picks by
+    memory headroom — production may run EITHER, so they must produce
+    identical generations (the point branch was otherwise only exercised
+    on memory-constrained real-TPU configs)."""
+    from vllm_backend_public_tpu.models import common as mc
+
+    cfg, params, _ = tiny
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (7, 13)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+    out = {}
+    for mode in ("slab", "point"):
+        mc.set_kv_write_mode(mode)
+        try:
+            eng = make_engine(cfg, params)
+            out[mode] = [o.output_token_ids
+                         for o in eng.generate(prompts, sp)]
+        finally:
+            mc.set_kv_write_mode("slab")
+    assert out["point"] == out["slab"]
+
+
+def test_draft_ngram_unit():
+    """Bigram drafter: continuation copy, padding, and fallbacks."""
+    from vllm_backend_public_tpu.engine.engine import LLMEngine
+
+    d = LLMEngine._draft_ngram
+    # most recent earlier (5,6) is followed by 7,8
+    hist = np.asarray([1, 5, 6, 7, 8, 2, 5, 6], np.int32)
+    assert d(hist, 2).tolist() == [7, 8]
+    # cycle: the continuation runs through the repeat itself
+    hist2 = np.asarray([5, 6, 7, 5, 6], np.int32)
+    assert d(hist2, 3).tolist() == [7, 5, 6]
+    # continuation shorter than k: pad with the last token
+    hist2b = np.asarray([5, 6, 7, 9, 5, 6], np.int32)
+    assert d(hist2b, 4).tolist() == [7, 9, 5, 6]
+    assert d(np.asarray([1, 5, 6, 7, 5, 6], np.int32), 4).tolist() \
+        == [7, 5, 6, 6]
+    # no bigram match: repeat last token
+    hist3 = np.asarray([1, 2, 3, 4], np.int32)
+    assert d(hist3, 2).tolist() == [4, 4]
+    # degenerate histories
+    assert d(np.asarray([9], np.int32), 2).tolist() == [9, 9]
+    assert d(np.asarray([], np.int32), 2).tolist() == [0, 0]
