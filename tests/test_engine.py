@@ -52,17 +52,46 @@ def test_chunked_prefill(tiny):
 
 
 def test_preemption_recovers(tiny):
-    """Tiny KV pool: preemption must trigger and results stay correct."""
+    """Tiny KV pool: preemption must trigger and results stay correct.
+
+    Sized so decode GROWTH (not admission) exhausts the pool — round 4
+    asserts preemption actually happened (the round-3 sizing stopped
+    triggering it silently once batched prefill needed fewer blocks).
+    The sustained-storm variant lives in the slow suite."""
+    cfg, params, model = tiny
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 256, size=12).tolist() for _ in range(2)]
+    engine = make_engine(cfg, params, num_kv_blocks=5, max_model_len=48)
+    outs = engine.generate(
+        prompts, SamplingParams(max_tokens=8, temperature=0.0,
+                                ignore_eos=True))
+    for p, o in zip(prompts, outs):
+        assert o.output_token_ids == jax_greedy(cfg, params, p, 8)
+    assert engine.metrics["preemptions"] > 0, "pool never filled"
+    # all blocks returned
+    assert engine.allocator.num_free == engine.allocator.num_blocks - 1
+
+
+@pytest.mark.slow
+def test_preemption_storm_recovers(tiny):
+    """Sustained over-subscription: 4 seqs needing 4 blocks each against
+    14 total cycle through repeated evict/recompute (25+ preemptions).
+    Round 4 found and fixed two bugs exactly here: the hold-and-wait
+    deadlock when every request waits holding partial-prefill blocks
+    (scheduler._reclaim_waiting), and max_tokens/output/sample-stream
+    accounting against the preemption-FOLDED prompt
+    (Request.orig_prompt_len). Exact greedy equivalence through the
+    storm is the bar."""
     cfg, params, model = tiny
     rng = np.random.default_rng(5)
     prompts = [rng.integers(0, 256, size=12).tolist() for _ in range(4)]
     engine = make_engine(cfg, params, num_kv_blocks=14, max_model_len=48)
     outs = engine.generate(
-        prompts, SamplingParams(max_tokens=10, temperature=0.0,
+        prompts, SamplingParams(max_tokens=18, temperature=0.0,
                                 ignore_eos=True))
     for p, o in zip(prompts, outs):
-        assert o.output_token_ids == jax_greedy(cfg, params, p, 10)
-    # all blocks returned
+        assert o.output_token_ids == jax_greedy(cfg, params, p, 18)
+    assert engine.metrics["preemptions"] > 0, "pool never filled"
     assert engine.allocator.num_free == engine.allocator.num_blocks - 1
 
 

@@ -775,7 +775,10 @@ class LLMEngine:
             self._samp["seeds"][slot] = (
                 s.seed if s.seed is not None
                 else (zlib.crc32(req.request_id.encode()) & 0x7FFFFFFF))
-            self._samp["steps"][slot] = 0
+            # resume the per-request sampling stream where it left off:
+            # a preempted-and-recomputed request has already generated
+            # num_generated tokens (0 for a fresh request)
+            self._samp["steps"][slot] = req.num_generated
             self._samp["temperature"][slot] = s.temperature
             self._samp["top_k"][slot] = s.top_k
             self._samp["top_p"][slot] = s.top_p
@@ -802,9 +805,10 @@ class LLMEngine:
             req = reqs[i]
             slot = req.slot
             tok = int(toks_host[i])
-            req.first_token_time = now
-            self._samp["steps"][slot] = 1
+            if req.first_token_time is None:   # TTFT = first EVER token
+                req.first_token_time = now
             req.output_token_ids.append(tok)
+            self._samp["steps"][slot] = req.num_generated
             if req.sampling.logprobs is not None:
                 from .sampling import top_logprobs
                 lp, tv, ti = jax.jit(top_logprobs, static_argnums=2)(
@@ -1002,9 +1006,11 @@ class LLMEngine:
             status = self._stop_status(req)
             if status is not None:
                 break
-        # drop logprob entries for discarded overshoot tokens
+        # drop logprob entries for discarded overshoot tokens (indexing
+        # by the GENERATED count — entries for tokens a preemption folded
+        # into the prompt are retained)
         if req.logprob_data:
-            req.logprob_data = req.logprob_data[:len(req.output_token_ids)]
+            req.logprob_data = req.logprob_data[:req.num_generated]
         return self._finalize_output(req, applied, status)
 
     # -------------------------------------------------------------- scoring
@@ -1064,7 +1070,10 @@ class LLMEngine:
             eos.add(self.tokenizer.eos_token_id)
         if not s.ignore_eos and tok in eos:
             return RequestStatus.FINISHED_STOPPED
-        if len(req.output_token_ids) >= s.max_tokens:
+        # num_generated, NOT len(output_token_ids): preemption folds
+        # generated tokens into the prompt, which must not restart the
+        # max_tokens budget
+        if req.num_generated >= s.max_tokens:
             return RequestStatus.FINISHED_LENGTH
         if req.num_tokens >= self.econfig.max_model_len:
             return RequestStatus.FINISHED_LENGTH
@@ -1086,15 +1095,17 @@ class LLMEngine:
             del self._requests[req.request_id]
         lp_entries = None
         if req.sampling.logprobs is not None and req.logprob_data:
-            n_out = len(req.output_token_ids)
+            n_out = req.num_generated
             lp_entries = req.logprob_data[n_out - len(new_tokens):n_out]
         return RequestOutput(
             request_id=req.request_id,
             new_token_ids=new_tokens,
-            output_token_ids=list(req.output_token_ids),
+            # user-visible view: all generated tokens, including any a
+            # preemption folded into the recompute prompt
+            output_token_ids=list(req.generated_token_ids),
             finished=status is not None,
             finish_reason=status.finish_reason if status else None,
-            num_prompt_tokens=req.num_prompt_tokens,
+            num_prompt_tokens=req.orig_prompt_len,
             logprobs=lp_entries,
             ttft=(req.first_token_time - req.arrival_time
                   if req.first_token_time else None),

@@ -88,10 +88,17 @@ class Request:
     # sliding-window recycling cursor: block_ids[:num_recycled_blocks] are
     # already nulled, so each decode schedule scans from here, not 0
     num_recycled_blocks: int = 0
+    # the USER's prompt length: preemption-with-recompute folds generated
+    # tokens into prompt_token_ids (scheduler._preempt), so max_tokens
+    # accounting and the user-visible output must slice against this,
+    # not len(prompt_token_ids)
+    orig_prompt_len: int = 0
 
     def __post_init__(self):
         if not self.request_id:
             self.request_id = f"req-{next(_req_counter)}"
+        if not self.orig_prompt_len:
+            self.orig_prompt_len = len(self.prompt_token_ids)
 
     @property
     def num_prompt_tokens(self) -> int:
@@ -104,6 +111,15 @@ class Request:
     @property
     def all_token_ids(self) -> List[int]:
         return self.prompt_token_ids + self.output_token_ids
+
+    @property
+    def num_generated(self) -> int:
+        """Tokens generated for the USER (survives preemption folding)."""
+        return self.num_tokens - self.orig_prompt_len
+
+    @property
+    def generated_token_ids(self) -> List[int]:
+        return self.all_token_ids[self.orig_prompt_len:]
 
     @property
     def prefill_done(self) -> bool:

@@ -224,8 +224,11 @@ class Scheduler:
                            - len(req.block_ids))
             if need_blocks > 0:
                 if need_blocks > self.allocator.num_free:
-                    if sel or not self._reclaim(need_blocks,
-                                                victim_exempt=req, out=out):
+                    ok = (not sel
+                          and (self._reclaim(need_blocks,
+                                             victim_exempt=req, out=out)
+                               or self._reclaim_waiting(need_blocks, req)))
+                    if not ok:
                         if sel:
                             break
                         return None
@@ -284,7 +287,8 @@ class Scheduler:
                            - len(req.block_ids))
             if need_blocks <= 0:
                 continue
-            if not self._reclaim(need_blocks, victim_exempt=req, out=out):
+            if not (self._reclaim(need_blocks, victim_exempt=req, out=out)
+                    or self._reclaim_waiting(need_blocks, req)):
                 # could not free enough even with preemption: preempt req itself
                 self._preempt(req, out)
                 continue
@@ -301,6 +305,29 @@ class Scheduler:
             victims.sort(key=Request.sort_key)
             self._preempt(victims[-1], out)
         return True
+
+    def _reclaim_waiting(self, need_blocks: int,
+                         exempt: Request) -> bool:
+        """Free partial-prefill blocks held by OTHER waiting requests.
+
+        Deadlock breaker (found round 4): under a preemption storm every
+        request can end up back in `waiting` holding a few blocks of
+        partial prefill state, each needing more than the residual free
+        pool — hold-and-wait with no running victims for _reclaim, so
+        the engine idled forever with work queued. The highest-priority
+        waiting request must always be able to progress: evict other
+        waiters' held blocks (lowest priority, youngest first — they
+        merely re-prefill) until it fits."""
+        victims = [r for r in self.waiting
+                   if r is not exempt and r.block_ids]
+        victims.sort(key=Request.sort_key)
+        while self.allocator.num_free < need_blocks and victims:
+            v = victims.pop()
+            self.allocator.free([b for b in v.block_ids if b != 0])
+            v.block_ids = []
+            v.num_computed_tokens = 0
+            v.num_recycled_blocks = 0
+        return self.allocator.num_free >= need_blocks
 
     def _preempt(self, req: Request, out: SchedulerOutput) -> None:
         self.allocator.free([b for b in req.block_ids if b != 0])
