@@ -83,6 +83,12 @@ class Scheduler:
         self.running: List[Request] = []
         self._free_slots = list(range(cfg.max_num_seqs - 1, -1, -1))
         self._consec_prefills = 0
+        # waiting-side evictions (_reclaim_waiting victims): they are not
+        # preemptions of RUNNING work, but they do lose partial-prefill
+        # blocks and recompute — invisible in round 4's metrics, which
+        # undercounted exactly the storm scenario the deadlock fix
+        # addresses. Monotonic; the engine surfaces it in stats().
+        self.num_waiting_evictions = 0
 
     # ---- queue management -------------------------------------------------
 
@@ -287,8 +293,13 @@ class Scheduler:
                            - len(req.block_ids))
             if need_blocks <= 0:
                 continue
-            if not (self._reclaim(need_blocks, victim_exempt=req, out=out)
-                    or self._reclaim_waiting(need_blocks, req)):
+            # waiting-side eviction first: waiters' partial-prefill blocks
+            # merely re-prefill, while preempting a RUNNING request loses
+            # its whole computed KV — strictly cheaper when either would
+            # satisfy the shortage. (_plan_prefill_batch keeps the
+            # opposite order: the requester there is itself a waiter.)
+            if not (self._reclaim_waiting(need_blocks, req)
+                    or self._reclaim(need_blocks, victim_exempt=req, out=out)):
                 # could not free enough even with preemption: preempt req itself
                 self._preempt(req, out)
                 continue
@@ -327,6 +338,7 @@ class Scheduler:
             v.block_ids = []
             v.num_computed_tokens = 0
             v.num_recycled_blocks = 0
+            self.num_waiting_evictions += 1
         return self.allocator.num_free >= need_blocks
 
     def _preempt(self, req: Request, out: SchedulerOutput) -> None:
