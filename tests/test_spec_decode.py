@@ -81,8 +81,9 @@ def test_spec_emits_multiple_tokens_per_round():
 
 
 def test_spec_falls_back_for_sampling():
-    """Non-greedy requests must take the normal decode path (and still
-    produce the same tokens as a non-spec engine with the same seed)."""
+    """A batch with NO spec-eligible rows (truncation filters) must take
+    the normal decode path (and still produce the same tokens as a
+    non-spec engine with the same seed)."""
     from vllm_backend_public_tpu.engine.request import SamplingParams
 
     sp = SamplingParams(max_tokens=12, temperature=0.8, top_k=40, seed=7,
@@ -90,3 +91,111 @@ def test_spec_falls_back_for_sampling():
     ref = _build(0).generate([[5, 6, 7, 5, 6]], sp)
     out = _build(3).generate([[5, 6, 7, 5, 6]], sp)
     assert list(out[0].output_token_ids) == list(ref[0].output_token_ids)
+
+
+def test_spec_mixed_batch_per_request():
+    """Round 5: per-request speculation. 2 greedy + 2 pure-temperature
+    sampled requests share spec rounds; the greedy rows must stay
+    BIT-IDENTICAL to plain greedy decode AND emit > 1 token/round on
+    average (the round-4 batch-global gate would have disabled
+    speculation for this whole batch)."""
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    N = 48
+    greedy_prompts = [[5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6], [8, 8, 8, 8, 8]]
+    sampled_prompts = [[1, 2, 3, 4], [9, 11, 13, 17]]
+    g_sp = SamplingParams(max_tokens=N, temperature=0.0, ignore_eos=True)
+    s_sp = SamplingParams(max_tokens=N, temperature=1.0, seed=11,
+                          ignore_eos=True)
+
+    ref_eng = _build(0)
+    ids = [ref_eng.add_request(p, g_sp) for p in greedy_prompts]
+    ref = {i: None for i in ids}
+    while ref_eng.has_unfinished():
+        for o in ref_eng.step():
+            if o.finished:
+                ref[o.request_id] = list(o.output_token_ids)
+
+    eng = _build(3)
+    gids = [eng.add_request(p, g_sp) for p in greedy_prompts]
+    [eng.add_request(p, s_sp) for p in sampled_prompts]
+    outs = {}
+    while eng.has_unfinished():
+        for o in eng.step():
+            if o.finished:
+                outs[o.request_id] = list(o.output_token_ids)
+    for rid, gid in zip(ids, gids):
+        assert outs[gid] == ref[rid], (outs[gid], ref[rid])
+    m = eng.metrics
+    assert m["spec_rounds"] > 0
+    # each round emits >= 1 token per active row; if the greedy rows only
+    # ever got 1/round they would need >= N rounds to finish
+    assert m["spec_rounds"] < N, m["spec_rounds"]
+
+
+def test_spec_penalty_row_rides_along_bit_exact():
+    """A repetition-penalty request is spec-INELIGIBLE but rides the spec
+    round as a plain 1-token row: same penalty math, same (seed, step)
+    sampler stream as plain decode => bit-identical output in f32, while
+    the greedy neighbor still speculates."""
+    from vllm_backend_public_tpu.engine.request import SamplingParams
+
+    g_sp = SamplingParams(max_tokens=24, temperature=0.0, ignore_eos=True)
+    p_sp = SamplingParams(max_tokens=24, temperature=0.9, seed=3,
+                          repetition_penalty=1.3, ignore_eos=True)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [1, 2, 3, 4, 5]]
+
+    def run(num_spec):
+        eng = _build(num_spec)
+        ids = [eng.add_request(prompts[0], g_sp),
+               eng.add_request(prompts[1], p_sp)]
+        outs = {}
+        while eng.has_unfinished():
+            for o in eng.step():
+                if o.finished:
+                    outs[o.request_id] = list(o.output_token_ids)
+        return [outs[i] for i in ids], eng.metrics
+
+    ref, _ = run(0)
+    out, m = run(3)
+    assert out[0] == ref[0]            # greedy row: bit parity
+    assert out[1] == ref[1]            # penalty row: same sampler stream
+    assert m["spec_rounds"] > 0
+
+
+def test_spec_rejection_sampling_distribution():
+    """The emitted-token marginal of rejection-sampled verification must
+    equal plain temperature sampling EXACTLY (speculative-sampling
+    theorem for point-mass proposals). Empirical check on the factored
+    primitive: ~4000 independent streams, fixed logits, K=2 drafts fixed
+    on a high-probability token (so acceptance genuinely happens), first
+    emitted token's frequency vs softmax within 5 sigma."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_backend_public_tpu.engine.sampling import (sample,
+                                                         speculative_verify)
+
+    W, K, V = 4000, 2, 8
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.normal(size=(1, K + 1, V)), jnp.float32)
+    logits = jnp.broadcast_to(base, (W, K + 1, V))
+    draft_tok = int(np.argmax(np.asarray(base[0, 0])))  # likely accepted
+    drafts = jnp.full((W, K), draft_tok, jnp.int32)
+    seeds = jnp.arange(W, dtype=jnp.int32)
+    steps = jnp.zeros((W,), jnp.int32)
+    ones = jnp.ones((W,), jnp.float32)
+    acc, bonus_logits = speculative_verify(
+        logits, drafts, seeds=seeds, steps=steps, temperature=ones,
+        greedy_row=jnp.zeros((W,), bool), spec_ok=jnp.ones((W,), bool))
+    bonus = sample(bonus_logits, seeds=seeds, steps=steps + acc,
+                   temperature=ones, top_k=jnp.zeros((W,), jnp.int32),
+                   top_p=ones, min_p=jnp.zeros((W,), jnp.float32))
+    acc_h = np.asarray(acc)
+    first = np.where(acc_h >= 1, draft_tok, np.asarray(bonus))
+    assert (acc_h >= 1).mean() > 0.05, "acceptance never triggered"
+    assert (acc_h == 0).sum() > 50, "rejection never triggered"
+    p_ref = np.asarray(jax.nn.softmax(base[0, 0]))
+    freq = np.bincount(first, minlength=V) / W
+    sigma = np.sqrt(p_ref * (1 - p_ref) / W)
+    assert np.all(np.abs(freq - p_ref) < 5 * sigma + 1e-3), (
+        freq, p_ref, sigma)

@@ -34,7 +34,7 @@ from .block_allocator import BlockAllocator
 from .config import EngineConfig
 from .outputs import RequestOutput
 from .request import Request, RequestStatus, SamplingParams
-from .sampling import apply_penalties, sample
+from .sampling import apply_penalties, sample, speculative_verify
 from .scheduler import Scheduler
 
 logger = logging.getLogger(__name__)
@@ -231,13 +231,27 @@ class LLMEngine:
                         "pipeline x expert parallelism: MoE falls back "
                         "to dense expert compute (all experts per token)")
                     set_moe_impl("dense")
+                elif econfig.tensor_parallel_size > 1:
+                    # PP x TP without an expert axis: the grouped-prefill
+                    # Pallas kernel would run OUTSIDE any shard_map over
+                    # "model" (the pipelined forward is manual over
+                    # "pipe" only) while the expert weights are
+                    # model-sharded under GSPMD — an opaque pallas_call
+                    # there risks a partitioning compile failure or a
+                    # silent full weight replication. Dense einsums are
+                    # GSPMD-safe; gate grouped on tp == 1 until PP x TP
+                    # quantized MoE is exercised on hardware.
+                    logger.warning(
+                        "pipeline x tensor parallelism without an expert "
+                        "axis: MoE falls back to dense expert compute")
+                    set_moe_impl("dense")
                 else:
-                    # PP without an expert axis: every stage holds its
-                    # layers' experts fully, so the LOCAL auto path
-                    # needs no shard_map — dense at decode token counts
-                    # (expert weights stream once per step either way;
-                    # grouped dispatch measured 7x slower there), the
-                    # grouped top-k/E FLOP saving at prefill (>= 512
+                    # PP (tp == 1) without an expert axis: every stage
+                    # holds its layers' experts fully, so the LOCAL auto
+                    # path needs no shard_map — dense at decode token
+                    # counts (expert weights stream once per step either
+                    # way; grouped dispatch measured 7x slower there),
+                    # the grouped top-k/E FLOP saving at prefill (>= 512
                     # tokens). Round-3 forced dense for ALL of PP, which
                     # paid all-E FLOPs on prefill too.
                     set_moe_impl("auto")
@@ -332,7 +346,8 @@ class LLMEngine:
         # reference models.py:24; here first-class)
         self.metrics = {"num_steps": 0, "num_prefill_steps": 0,
                         "num_decode_steps": 0, "generated_tokens": 0,
-                        "preemptions": 0, "decode_step_ms_ema": 0.0,
+                        "preemptions": 0, "waiting_evictions": 0,
+                        "decode_step_ms_ema": 0.0,
                         "prefill_step_ms_ema": 0.0,
                         "spec_rounds": 0, "spec_emitted": 0}
 
@@ -619,28 +634,56 @@ class LLMEngine:
 
         self._first_tokens_fn = jax.jit(first_tokens, donate_argnums=(0,))
 
-        K_spec = self.econfig.num_speculative_tokens
+        # snapshot: positions/draft widths are baked into the traced
+        # program at build time; econfig.num_speculative_tokens > 0 is
+        # treated purely as the runtime on/off switch (bench toggles it),
+        # and _run_spec_decode validates any nonzero runtime value
+        # against this snapshot instead of re-reading it per step.
+        K_spec = self._K_spec_built = self.econfig.num_speculative_tokens
         if K_spec > 0:
             T = K_spec + 1
 
-            def spec_step(params, cache, tokens, kv_lens, bt, active):
-                """One speculative round: verify K drafts in ONE forward.
+            def spec_step(params, cache, counts, tokens, kv_lens, bt,
+                          active, samp, rows, spec_ok):
+                """One speculative round: verify K drafts in ONE forward,
+                PER-REQUEST (round 5 — the round-4 version was greedy-only
+                and batch-global: one sampled request disabled speculation
+                for the entire batch).
 
                 tokens [W, T] = (carry token t0, drafts d1..dK); like
                 decode's new token, t0's KV is not in the cache yet. The
-                chunked-prefill forward (causal in-chunk + cached
-                prefix) writes ALL T tokens' KV optimistically —
-                rejected drafts' slots sit BEYOND the committed kv_len,
-                are never read (attention masks at kv_len), and the next
-                round's writes overwrite them. Greedy verification:
-                argmax at position i is the model's true token after
-                t0..d_i, so the longest matching draft prefix plus the
-                model's own next token (`bonus`) is exactly what
-                non-speculative greedy decode would have produced —
-                outputs are bit-identical, rounds just emit acc+1
-                tokens per weight stream. This is the TPU answer to the
-                deployed reference engine's speculative decoding
-                (vllm-openai v0.9.1 --num-speculative-tokens).
+                chunked-prefill forward (causal in-chunk + cached prefix)
+                writes ALL T tokens' KV optimistically — rejected drafts'
+                slots sit BEYOND the committed kv_len, are never read
+                (attention masks at kv_len), and the next round's writes
+                overwrite them.
+
+                Per-row verification (spec_ok [W] marks rows allowed to
+                speculate — no penalties, and either greedy or
+                pure-temperature sampling):
+                - greedy rows: argmax at position i is the model's true
+                  token after t0..d_i, so accepted prefix + the model's
+                  own next token (`bonus`) is BIT-IDENTICAL to plain
+                  greedy decode.
+                - sampled rows: rejection sampling against the point-mass
+                  n-gram draft (the vllm-openai v0.9.1 [ngram] contract).
+                  Draft d_i is accepted iff u_i < p_i(d_i) where p_i is
+                  the temperature-scaled target distribution; on the
+                  first rejection the bonus is drawn from the residual —
+                  for a point-mass proposal that is exactly p_i with
+                  d_i's mass removed (Gumbel-argmax over the masked
+                  logits). The emitted distribution equals plain
+                  temperature sampling EXACTLY (standard speculative
+                  sampling correctness), though the realized draws
+                  differ (different randomness consumption). Acceptance
+                  uniforms come from a salted fold of the same
+                  per-request stream so they are independent of the
+                  bonus Gumbel draw at the same step index.
+                - rows with penalties or truncation filters (top-k/p,
+                  min-p): spec_ok is False — they ride the same program
+                  as plain 1-token decode rows (acc pinned to 0, the
+                  bonus sampled through the full penalty+filter sampler)
+                  so a mixed batch never blocks the speculating rows.
                 """
                 W = tokens.shape[0]
                 positions = (kv_lens[:, None]
@@ -654,24 +697,49 @@ class LLMEngine:
                                     attn_impl=impl)
                 h = hidden.reshape(W * T, -1)
                 logits = logits_fn(params, h).reshape(W, T, -1)
-                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 drafts = tokens[:, 1:]                     # [W, K]
-                match = (pred[:, :-1] == drafts).astype(jnp.int32)
-                acc = jnp.cumprod(match, axis=1).sum(axis=1)   # [W]
-                bonus = jnp.take_along_axis(pred, acc[:, None],
-                                            axis=1)[:, 0]
+                greedy_row = samp["temperature"] <= 0.0
+                steps0 = samp["steps"]
+
+                acc, bonus_logits = speculative_verify(
+                    logits, drafts, seeds=samp["seeds"], steps=steps0,
+                    temperature=samp["temperature"],
+                    greedy_row=greedy_row, spec_ok=spec_ok)
+
+                # plain rows (acc == 0): position-0 logits through the
+                # full penalty path, filters handled inside sample()
+                logits0 = apply_penalties(
+                    logits[:, 0], counts[rows], samp["presence"],
+                    samp["frequency"], samp["repetition"])
+                logits_fin = jnp.where(spec_ok[:, None], bonus_logits,
+                                       logits0)
+                bonus = sample(
+                    logits_fin, seeds=samp["seeds"], steps=steps0 + acc,
+                    temperature=samp["temperature"], top_k=samp["top_k"],
+                    top_p=samp["top_p"], min_p=samp["min_p"])
+
                 k_ar = jnp.arange(K_spec, dtype=jnp.int32)[None, :]
                 emit = jnp.concatenate(
                     [jnp.where(k_ar < acc[:, None], drafts, 0),
                      jnp.zeros((W, 1), jnp.int32)], axis=1)
                 emit = emit.at[jnp.arange(W), acc].set(bonus)  # [W, T]
                 n_emit = jnp.where(active, acc + 1, 0).astype(jnp.int32)
-                return emit, n_emit, kv_lens + n_emit, cache
+
+                # penalty counts see every emitted token (masked slots
+                # scatter to index V => dropped)
+                emit_pos = jnp.arange(T, dtype=jnp.int32)[None, :]
+                emitted = emit_pos < n_emit[:, None]       # [W, T]
+                tok_idx = jnp.where(emitted, emit, counts.shape[1])
+                counts = counts.at[rows[:, None], tok_idx].add(
+                    emitted.astype(jnp.int32), mode="drop")
+                return (emit, n_emit, kv_lens + n_emit, cache, counts,
+                        steps0 + n_emit)
 
             self._spec_fn = jax.jit(
-                spec_step, donate_argnums=(1,),
-                in_shardings=(None, cache_fmt, None, None, None, None),
-                out_shardings=(None, None, None, cache_fmt))
+                spec_step, donate_argnums=(1, 2),
+                in_shardings=(None, cache_fmt, None, None, None, None,
+                              None, None, None, None),
+                out_shardings=(None, None, None, cache_fmt, None, None))
 
     # ------------------------------------------------------------- admission
 
@@ -698,6 +766,8 @@ class LLMEngine:
     def step(self) -> List[RequestOutput]:
         plan = self.scheduler.schedule()
         self.metrics["preemptions"] += len(plan.preempted)
+        self.metrics["waiting_evictions"] = \
+            self.scheduler.num_waiting_evictions
         for req in plan.preempted:
             self._release_slot_state(req)
         outputs: List[RequestOutput] = []
@@ -875,16 +945,17 @@ class LLMEngine:
             self._upload_dev_state()
         dev = self._dev
 
-        if self.econfig.num_speculative_tokens > 0:
-            slots = [r.slot for r in plan.requests]
+        if self.econfig.num_speculative_tokens > 0 and self._K_spec_built > 0:
+            # per-request eligibility (round 5): a round runs whenever ANY
+            # row can speculate; ineligible rows ride the same program as
+            # plain 1-token decode rows. Only logprobs stays a
+            # batch-global disqualifier (the spec program doesn't return
+            # top-logprob tensors).
             eligible = (
-                dev["greedy"]
-                and not any(r.sampling.logprobs is not None
-                            for r in plan.requests)
-                and all(self._samp["presence"][s] == 0.0
-                        and self._samp["frequency"][s] == 0.0
-                        and self._samp["repetition"][s] == 1.0
-                        for s in slots))
+                not any(r.sampling.logprobs is not None
+                        for r in plan.requests)
+                and any(self._spec_eligible(r.sampling)
+                        for r in plan.requests))
             if eligible:
                 return self._run_spec_decode(plan)
 
@@ -958,27 +1029,57 @@ class LLMEngine:
                 out[:cont.shape[0]] = cont
         return out
 
+    @staticmethod
+    def _spec_eligible(s: SamplingParams) -> bool:
+        """Rows that may speculate: no penalties, and either greedy or
+        PURE temperature sampling. Truncation filters (top-k/top-p/min-p)
+        would need the rejection test run against the FILTERED target
+        distribution to stay exact — those rows run as plain decode rows
+        inside the spec round instead."""
+        return (s.presence_penalty == 0.0 and s.frequency_penalty == 0.0
+                and s.repetition_penalty == 1.0
+                and (s.temperature == 0.0
+                     or (s.top_k <= 0 and s.top_p >= 1.0
+                         and s.min_p == 0.0)))
+
     def _run_spec_decode(self, plan) -> List[RequestOutput]:
-        """One speculative round (greedy-only; see spec_step)."""
+        """One speculative round (per-request; see spec_step)."""
         dev = self._dev
-        K_spec = self.econfig.num_speculative_tokens
+        K_spec = self._K_spec_built
+        if self.econfig.num_speculative_tokens != K_spec:
+            raise ValueError(
+                f"num_speculative_tokens changed at runtime "
+                f"({self.econfig.num_speculative_tokens} != built "
+                f"{K_spec}); it can only be toggled 0 <-> {K_spec}")
         T = K_spec + 1
         W = len(dev["rows"])
         row_of = dev["row_of"]
         tok_mat = np.zeros((W, T), np.int32)
+        spec_ok = np.zeros((W,), bool)
         for req in plan.requests:
             r = row_of[req.slot]
             tok_mat[r, 0] = self._last[req.slot]
-            hist = np.asarray(req.prompt_token_ids + req.output_token_ids,
-                              np.int32)
-            tok_mat[r, 1:] = self._draft_ngram(hist, K_spec)
-        emit, n_emit, new_kv, self.cache = self._spec_fn(
-            self.params, self.cache, jnp.asarray(tok_mat),
-            dev["kv_lens"], dev["bt"], dev["active"])
+            if self._spec_eligible(req.sampling):
+                spec_ok[r] = True
+                hist = np.asarray(
+                    req.prompt_token_ids + req.output_token_ids, np.int32)
+                tok_mat[r, 1:] = self._draft_ngram(hist, K_spec)
+            else:
+                tok_mat[r, 1:] = tok_mat[r, 0]  # ignored (acc pinned 0)
+        (emit, n_emit, new_kv, self.cache, self._counts,
+         new_steps) = self._spec_fn(
+            self.params, self.cache, self._counts, jnp.asarray(tok_mat),
+            dev["kv_lens"], dev["bt"], dev["active"], dev["samp"],
+            jnp.asarray(dev["rows"]), jnp.asarray(spec_ok))
         dev["kv_lens"] = new_kv
+        dev["samp"]["steps"] = new_steps
         emit_h = np.asarray(jax.device_get(emit))
         n_h = np.asarray(jax.device_get(n_emit))
         outputs = []
+        # one ROUND per call (round 4 counted request-rounds: inflated
+        # batch-fold, and bench's tokens/round silently became a
+        # per-sequence average)
+        self.metrics["spec_rounds"] += 1
         for req in plan.requests:
             s = req.slot
             r = row_of[s]
@@ -987,7 +1088,6 @@ class LLMEngine:
             self._kv_lens[s] += k
             self._last[s] = toks[-1]
             self._samp["steps"][s] += k
-            self.metrics["spec_rounds"] += 1
             self.metrics["spec_emitted"] += k
             outputs.append(self._apply_decode_tokens(req, toks))
         dev["tokens"] = jnp.asarray(self._last[dev["rows"]])

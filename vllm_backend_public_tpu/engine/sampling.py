@@ -159,6 +159,66 @@ def sample_full_filtered(logp: jax.Array, gumbel: jax.Array,
     return tok, keep
 
 
+def speculative_verify(logits: jax.Array, drafts: jax.Array, *,
+                       seeds: jax.Array, steps: jax.Array,
+                       temperature: jax.Array, greedy_row: jax.Array,
+                       spec_ok: jax.Array):
+    """Per-row draft verification for speculative decoding.
+
+    logits: [W, T, V] f32 (T = K+1 verify positions); drafts: [W, K].
+    greedy_row [W] bool: argmax-match verification (bit-identical to
+    plain greedy decode). Sampled rows (temperature > 0, no truncation
+    filters): rejection sampling against the point-mass draft — accept
+    d_i iff u_i < p_i(d_i) under the temperature-scaled target; on the
+    first rejection the bonus distribution is the residual, which for a
+    point-mass proposal is exactly the target with d_i's mass removed.
+    The emitted marginal at every position equals plain temperature
+    sampling EXACTLY (speculative-sampling correctness for degenerate
+    proposals); see tests/test_spec_decode.py for the empirical check.
+    spec_ok [W] False pins acc = 0 (row runs as plain decode).
+
+    Acceptance uniforms derive from a salted fold of the per-request
+    (seed, step) stream so they are independent of the sampler's Gumbel
+    draw at the same step index.
+
+    Returns (acc [W] int32, bonus_logits [W, V] — position-acc logits
+    with the rejected draft masked for sampled rows).
+    """
+    K = drafts.shape[1]
+    match_g = jnp.argmax(logits[:, :-1], axis=-1).astype(
+        jnp.int32) == drafts
+    temp = jnp.maximum(temperature, 1e-6)[:, None, None]
+    scaled = logits[:, :-1] / temp                        # [W, K, V]
+    lse = jax.scipy.special.logsumexp(scaled, axis=-1)
+    d_logit = jnp.take_along_axis(scaled, drafts[..., None],
+                                  axis=-1)[..., 0]
+    p_draft = jnp.exp(d_logit - lse)                      # [W, K]
+
+    def u_key(seed, step):
+        return jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), step), 0x5bec)
+
+    step_mat = steps[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    seeds_mat = jnp.broadcast_to(seeds[:, None], step_mat.shape)
+    u = jax.vmap(jax.vmap(
+        lambda s, t: jax.random.uniform(u_key(s, t))))(seeds_mat,
+                                                       step_mat)
+    match = jnp.where(greedy_row[:, None], match_g, u < p_draft)
+    match &= spec_ok[:, None]
+    acc = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+
+    logits_acc = jnp.take_along_axis(
+        logits, acc[:, None, None], axis=1)[:, 0]         # [W, V]
+    rej_tok = jnp.take_along_axis(
+        drafts, jnp.clip(acc, 0, K - 1)[:, None], axis=1)[:, 0]
+    mask_rej = spec_ok & (~greedy_row) & (acc < K)
+    vocab_ar = jnp.arange(logits.shape[-1], dtype=jnp.int32)[None, :]
+    bonus_logits = jnp.where(
+        mask_rej[:, None] & (vocab_ar == rej_tok[:, None]),
+        NEG_INF, logits_acc)
+    return acc, bonus_logits
+
+
 def top_logprobs(logits: jax.Array, sampled: jax.Array, k: int):
     """Log-softmax + top-k for logprob reporting.
 
