@@ -131,6 +131,53 @@ def test_waiting_eviction_counted_and_unblocks(tiny):
                for r in reqs[1:])
 
 
+def test_shortest_first_prefill_with_aging(tiny):
+    """Round 5: within one priority class the smallest-bucket chunk group
+    prefills first (a long prompt at the head must not block the short
+    prompts behind it), and the aging bound forces strict FIFO after
+    prefill_aging_limit overtakes so the long prompt cannot starve."""
+    from vllm_backend_public_tpu.engine.block_allocator import make_allocator
+    from vllm_backend_public_tpu.engine.request import Request
+    from vllm_backend_public_tpu.engine.scheduler import Scheduler
+
+    cfg = EngineConfig(model="tiny", dtype="float32", block_size=8,
+                       max_num_seqs=8, max_model_len=256,
+                       max_num_batched_tokens=32, num_kv_blocks=64,
+                       max_prefill_seqs=2, prefill_aging_limit=2,
+                       max_consecutive_prefills=0,  # prefill-first: the
+                       # test steps prefill programs back-to-back
+                       enable_prefix_caching=False)
+    alloc = make_allocator(64, 8)
+    sched = Scheduler(cfg, alloc)
+
+    def mk(n, rid):
+        return Request(prompt_token_ids=list(range(n)),
+                       sampling=SamplingParams(max_tokens=4),
+                       request_id=rid)
+
+    long_req = mk(64, "long")        # chunk 32 -> bucket 32
+    shorts = [mk(8, f"s{i}") for i in range(6)]  # bucket 16
+    sched.add(long_req)
+    for s in shorts:
+        sched.add(s)
+
+    def run_prefill():
+        out = sched.schedule()
+        assert out.prefill is not None
+        for r, ln in zip(out.prefill.requests, out.prefill.lengths):
+            sched.on_prefill_progress(r, ln)
+        return out.prefill.requests
+
+    # programs 1-2: shorts overtake the long prompt (2 rows each)
+    assert set(r.request_id for r in run_prefill()) == {"s0", "s1"}
+    assert set(r.request_id for r in run_prefill()) == {"s2", "s3"}
+    assert long_req.prefill_overtaken == 2
+    # program 3: aged out -> strict FIFO, the long prompt goes first
+    # even though two more shorts are waiting
+    assert run_prefill()[0] is long_req
+    assert long_req.num_computed_tokens == 32
+
+
 def test_blocks_freed_and_reused(tiny):
     cfg, params, _ = tiny
     engine = make_engine(cfg, params)

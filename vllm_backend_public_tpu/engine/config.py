@@ -76,6 +76,14 @@ class EngineConfig:
     num_speculative_tokens: int = 0
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
+    # shortest-first prefill packing fairness bound: within one priority
+    # class the scheduler admits the smallest-bucket chunk group first
+    # (one 4k prompt at the head otherwise blocks every short prompt
+    # behind it for its whole chunked prefill — measured 8.1 s mixed
+    # TTFT p99 in round 4, pure queueing); a request overtaken this many
+    # prefill programs is served strictly FIFO so long prompts cannot
+    # starve. 0 disables overtaking (plain priority-FIFO packing).
+    prefill_aging_limit: int = 8
 
     # Prefill sequence-length buckets (powers of two generated up to max)
     prefill_buckets: tuple = ()

@@ -88,6 +88,11 @@ class Request:
     # sliding-window recycling cursor: block_ids[:num_recycled_blocks] are
     # already nulled, so each decode schedule scans from here, not 0
     num_recycled_blocks: int = 0
+    # prefill programs that admitted a LATER same-class request while
+    # this one waited (shortest-first packing); at
+    # cfg.prefill_aging_limit the scheduler reverts to strict FIFO for
+    # this request so long prompts cannot starve
+    prefill_overtaken: int = 0
     # the USER's prompt length: preemption-with-recompute folds generated
     # tokens into prompt_token_ids (scheduler._preempt), so max_tokens
     # accounting and the user-visible output must slice against this,

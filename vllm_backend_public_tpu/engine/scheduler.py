@@ -187,7 +187,8 @@ class Scheduler:
                                          req.block_ids[:nb_full])
 
     def _plan_prefill_batch(self, out: SchedulerOutput) -> Optional[PrefillPlan]:
-        """Pack waiting prompts (priority order) into ONE prefill program.
+        """Pack waiting prompts into ONE prefill program, SHORTEST-BUCKET
+        first within the head priority class.
 
         Budget rules:
         - sum of real chunk lengths <= max_num_batched_tokens (the per-STEP
@@ -198,30 +199,58 @@ class Scheduler:
           completes;
         - preemption (block reclaim) is attempted only for the FIRST row —
           growing the batch never evicts running work;
-        - all rows in one program share the FIRST row's length bucket:
-          every row pads to one shared bucket (one compiled variant per
-          (rows, bucket) pair), so packing a 1024-token prompt with seven
-          32-token prompts would cost 8x1024 padded rows — like-sized
-          prompts batch together instead, and differently-sized ones go
-          in the NEXT prefill program (admission stays priority-ordered:
-          we stop rather than skip, so no request is overtaken).
+        - all rows in one program share ONE length bucket: every row pads
+          to it (one compiled variant per (rows, bucket) pair), so packing
+          a 1024-token prompt with seven 32-token prompts would cost
+          8x1024 padded rows — like-sized prompts batch together instead.
+
+        Bucket choice (round 5): the smallest chunk bucket among the HEAD
+        priority class's candidates — round 4 always took the head
+        request's bucket and stopped at the first mismatch, so one 4k
+        prompt at the queue head blocked every short prompt behind it for
+        its entire chunked prefill (the mixed bench's 8.1 s TTFT p99 was
+        pure queueing). Admission never crosses priority classes out of
+        order; within the class a request overtaken
+        cfg.prefill_aging_limit times forces strict FIFO (its bucket),
+        bounding any request's extra wait to aging_limit prefill programs.
         """
         budget = self.cfg.max_num_batched_tokens
-        sel: List[Request] = []
-        starts: List[int] = []
-        lengths: List[int] = []
-        bucket0: Optional[int] = None
         free_slots = len(self._free_slots)
-        for req in list(self.waiting):
-            if len(sel) >= min(self.cfg.max_prefill_seqs, free_slots):
-                break
-            if budget <= 0:
-                break
+        max_rows = min(self.cfg.max_prefill_seqs, free_slots)
+        if max_rows <= 0 or not self.waiting:
+            return None
+        # candidate chunk metadata in priority-FIFO order (bounded scan:
+        # prefix-cache claims and bucket math per candidate)
+        cands = []
+        for req in list(self.waiting)[:max(4 * max_rows, 8)]:
             self._try_prefix_cache(req)
             start = req.num_computed_tokens
             length = min(req.num_prompt_tokens - start, budget)
-            if bucket0 is not None and self._bucket_for(length) != bucket0:
+            cands.append((req, start, length, self._bucket_for(length)))
+        head = cands[0][0]
+        head_cls = head.sort_key()[0]
+        aging = self.cfg.prefill_aging_limit
+        if aging and head.prefill_overtaken < aging:
+            target = min(b for r, _, _, b in cands
+                         if r.sort_key()[0] == head_cls)
+        else:
+            target = cands[0][3]
+
+        sel: List[Request] = []
+        starts: List[int] = []
+        lengths: List[int] = []
+        for req, start, length, bucket in cands:
+            if len(sel) >= max_rows or budget <= 0:
                 break
+            length = min(length, budget)
+            if self._bucket_for(length) != target or bucket != target:
+                # reordering is confined to the head priority class: a
+                # lower class never skips within itself (its own FIFO is
+                # preserved — stop), it only fills leftover rows behind
+                # an unbroken matching run
+                if req.sort_key()[0] != head_cls:
+                    break
+                continue  # overtaken (aging accounted below)
             # blocks to hold start+length tokens (+1 lookahead for the
             # first decode token so prefill-complete can sample at once)
             end = start + length
@@ -243,12 +272,18 @@ class Scheduler:
             starts.append(start)
             lengths.append(length)
             budget -= length
-            if bucket0 is None:
-                bucket0 = self._bucket_for(length)
         if not sel:
             return None
+        # aging: every candidate ordered before the last admitted row that
+        # was NOT admitted lost a turn to a later request
+        admitted = {id(r) for r in sel}
+        last_idx = max(i for i, c in enumerate(cands)
+                       if id(c[0]) in admitted)
+        for req, _, _, _ in cands[:last_idx]:
+            if id(req) not in admitted:
+                req.prefill_overtaken += 1
         bucket = self._bucket_for(max(lengths))
-        assert bucket == bucket0
+        assert bucket == target
         return PrefillPlan(requests=sel, starts=starts, lengths=lengths,
                            bucket=bucket)
 
