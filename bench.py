@@ -260,14 +260,30 @@ def mixed_serving_phase(cfg, args, quant):
     return {f"mixed_{k}": v for k, v in out.items()}
 
 
-def run_spec_bench(args, quant):
-    """--spec mode: speculative vs plain greedy decode at batch 8.
+def spec_phase(args, quant, k):
+    """Speculative vs plain decode at batch 8, greedy AND sampled.
 
-    Same engine, spec toggled via econfig (the fallback check reads it
-    per step); outputs must be IDENTICAL — speculation only changes how
-    many weight streams the tokens cost. Prints its own JSON line.
+    Same engine, spec toggled via econfig (the eligibility check reads
+    it per step). Greedy outputs must match plain decode — speculation
+    only changes how many weight streams the tokens cost; on bf16 the
+    decode and verify programs have different matmul shapes whose
+    low-bit logit differences flip near-tie argmaxes occasionally
+    (random weights sit in near-tie repetition cycles constantly, real
+    checkpoints rarely), so prefix_match_frac reports the agreement
+    instead of pretending bitwise equality.
+
+    The greedy acceptance number is OPTIMISTIC on random weights: greedy
+    decode collapses into repetition loops that a bigram drafter
+    predicts perfectly (round-4 verdict weak #3). The sampled pass
+    (temperature 1.0, per-request rejection-sampling verification) is
+    the honest non-repetitive-stream measurement: random-weight sampled
+    text has no n-gram structure, so its tokens/round is the drafter's
+    true floor on unstructured text.
+
+    Returns the `spec` sub-object for the standard bench JSON line.
     """
     import copy
+    import gc
 
     from vllm_backend_public_tpu.engine.request import SamplingParams
 
@@ -275,51 +291,69 @@ def run_spec_bench(args, quant):
     a2 = copy.copy(args)
     a2.batch = 8
     engine = build_engine(cfg, a2, quant, args.kv_dtype,
-                          num_speculative_tokens=args.spec)
+                          num_speculative_tokens=k)
     rng = np.random.default_rng(3)
     prompts = [rng.integers(0, cfg.vocab_size, size=128).tolist()
                for _ in range(8)]
-    sp = SamplingParams(max_tokens=192, temperature=0.0, ignore_eos=True)
 
-    def timed():
+    def timed(sp):
         t0 = time.perf_counter()
         outs = engine.generate(prompts, sp)
         dt = time.perf_counter() - t0
         toks = [list(o.output_token_ids) for o in outs]
         return toks, sum(len(t) for t in toks) / dt
 
-    engine.econfig.num_speculative_tokens = 0
-    timed()                                        # warmup/compile
-    plain_toks, plain_tps = timed()
-    engine.econfig.num_speculative_tokens = args.spec
-    timed()                                        # warmup/compile
-    m0 = dict(engine.metrics)
-    spec_toks, spec_tps = timed()
-    rounds = engine.metrics["spec_rounds"] - m0["spec_rounds"]
-    emitted = engine.metrics["spec_emitted"] - m0["spec_emitted"]
-    # Verification argmaxes the SAME model, so spec == plain exactly
-    # when scoring is deterministic — the f32 CPU parity suite
-    # (tests/test_spec_decode.py) pins that. On bf16 + w8a8 the decode
-    # and verify programs have different matmul shapes, whose low-bit
-    # logit differences flip near-tie argmaxes occasionally (random
-    # weights sit in near-tie repetition cycles constantly, real
-    # checkpoints rarely) — report the prefix-match stats rather than
-    # pretending bitwise equality across differently-shaped programs.
+    def ab(sp):
+        """(plain, spec) timing + per-round stats for one workload."""
+        engine.econfig.num_speculative_tokens = 0
+        timed(sp)                                  # warmup/compile
+        plain_toks, plain_tps = timed(sp)
+        engine.econfig.num_speculative_tokens = k
+        timed(sp)                                  # warmup/compile
+        m0 = dict(engine.metrics)
+        spec_toks, spec_tps = timed(sp)
+        # per-SEQUENCE tokens/round over speculating rows only (plain
+        # riders and cooldown rows excluded)
+        seq_rounds = (engine.metrics["spec_seq_rounds"]
+                      - m0["spec_seq_rounds"])
+        row_emitted = (engine.metrics["spec_row_emitted"]
+                       - m0["spec_row_emitted"])
+        return (plain_toks, plain_tps, spec_toks, spec_tps,
+                row_emitted / max(seq_rounds, 1))
+
+    g_sp = SamplingParams(max_tokens=192, temperature=0.0,
+                          ignore_eos=True)
+    (plain_toks, plain_tps, spec_toks, spec_tps, g_tpr) = ab(g_sp)
     n_tok = sum(len(t) for t in plain_toks)
     n_match = sum(
         next((j for j in range(min(len(p), len(s))) if p[j] != s[j]),
              min(len(p), len(s)))
         for p, s in zip(plain_toks, spec_toks))
-    print(json.dumps({
-        "metric": f"spec_decode_{args.model}_k{args.spec}_b8",
+
+    s_sp = SamplingParams(max_tokens=192, temperature=1.0, seed=9,
+                          ignore_eos=True)
+    (_, s_plain_tps, _, s_spec_tps, s_tpr) = ab(s_sp)
+
+    out = {
+        "k": k,
         "plain_tok_s": round(plain_tps, 1),
         "spec_tok_s": round(spec_tps, 1),
-        "speedup": round(spec_tps / plain_tps, 3),
-        "tokens_per_round": round(emitted / max(rounds, 1), 3),
-        "seqs_identical": sum(p == s for p, s in
-                              zip(plain_toks, spec_toks)),
+        "greedy_speedup": round(spec_tps / plain_tps, 3),
+        "greedy_tokens_per_round": round(g_tpr, 3),
         "prefix_match_frac": round(n_match / max(n_tok, 1), 4),
-    }))
+        "sampled_speedup": round(s_spec_tps / s_plain_tps, 3),
+        "sampled_tokens_per_round": round(s_tpr, 3),
+    }
+    del engine
+    gc.collect()
+    return out
+
+
+def run_spec_bench(args, quant):
+    """--spec K mode: the spec phase alone, as its own JSON line."""
+    out = spec_phase(args, quant, args.spec)
+    print(json.dumps({
+        "metric": f"spec_decode_{args.model}_k{args.spec}_b8", **out}))
 
 
 def main():
@@ -357,10 +391,14 @@ def main():
                          "target); skip: quantized run only")
     ap.add_argument("--skip-mixed", action="store_true",
                     help="skip the mixed-length sampled serving phase")
+    ap.add_argument("--skip-spec", action="store_true",
+                    help="skip the speculative-decoding phase of the "
+                         "standard bench")
     ap.add_argument("--spec", type=int, default=0, metavar="K",
-                    help="run the speculative-decoding benchmark "
-                         "(K drafts/round, batch 8) instead of the "
-                         "standard phases")
+                    help="run ONLY the speculative-decoding benchmark "
+                         "(K drafts/round, batch 8) as its own JSON "
+                         "line; the standard bench already includes a "
+                         "K=4 spec phase in its `spec` sub-object")
     args = ap.parse_args()
 
     import jax
@@ -465,6 +503,13 @@ def main():
         except Exception as e:       # never lose the headline JSON line
             print(f"# mixed serving phase failed: {e!r}", file=sys.stderr)
 
+    spec = {}
+    if not args.skip_spec and quant is not None:
+        try:
+            spec = {"spec": spec_phase(args, quant, k=4)}
+        except Exception as e:       # never lose the headline JSON line
+            print(f"# spec phase failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"decode_tokens_per_sec_per_chip_"
                   f"{args.model}_{quant or 'bf16'}_b{B}",
@@ -476,6 +521,7 @@ def main():
         "vs_fp16_modeled_8b": vs_fp16_modeled_8b,
         **serving,
         **mixed,
+        **spec,
     }))
     print(f"# step={step_s * 1e3:.2f} ms  "
           f"sol_step={sol_step * 1e3:.2f} ms  device={kind}  "

@@ -74,6 +74,18 @@ class EngineConfig:
     # _run_spec_decode). 0 disables. Non-greedy/penalized/logprobs
     # requests fall back to normal multi-step decode.
     num_speculative_tokens: int = 0
+    # adaptive per-request speculation gating: a row whose acceptance-
+    # rate EMA falls below spec_min_accept stops drafting (it costs a
+    # whole verify round to emit 1 token) and re-probes after
+    # spec_probe_tokens emitted tokens — unstructured text has ~zero
+    # n-gram acceptance, and a batch of such rows is strictly faster on
+    # fused plain decode. 0.0 disables gating (always speculate). Probe
+    # spacing trades recovery latency against probe cost: a probe round
+    # costs one full dispatch (the dominant spec cost on a
+    # remote-tunneled chip); at 256 tokens between probes that is ~1
+    # round per 8 fused 32-step decode calls.
+    spec_min_accept: float = 0.1
+    spec_probe_tokens: int = 256
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
     # shortest-first prefill packing fairness bound: within one priority

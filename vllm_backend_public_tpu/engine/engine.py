@@ -349,7 +349,14 @@ class LLMEngine:
                         "preemptions": 0, "waiting_evictions": 0,
                         "decode_step_ms_ema": 0.0,
                         "prefill_step_ms_ema": 0.0,
-                        "spec_rounds": 0, "spec_emitted": 0}
+                        # spec_rounds: engine rounds; spec_seq_rounds: sum
+                        # of SPECULATING rows over rounds; spec_emitted:
+                        # all tokens emitted in spec rounds (incl. plain
+                        # riders); spec_row_emitted: tokens emitted by
+                        # speculating rows — per-sequence acceptance =
+                        # spec_row_emitted / spec_seq_rounds
+                        "spec_rounds": 0, "spec_emitted": 0,
+                        "spec_seq_rounds": 0, "spec_row_emitted": 0}
 
     # ------------------------------------------------------------------ setup
 
@@ -950,11 +957,15 @@ class LLMEngine:
             # row can speculate; ineligible rows ride the same program as
             # plain 1-token decode rows. Only logprobs stays a
             # batch-global disqualifier (the spec program doesn't return
-            # top-logprob tensors).
+            # top-logprob tensors). Adaptive gating: rows in acceptance
+            # cooldown don't draft (and don't trigger rounds) — a spec
+            # round emits acc+1 tokens per DISPATCH, so zero-acceptance
+            # rows are strictly faster on fused plain decode.
             eligible = (
                 not any(r.sampling.logprobs is not None
                         for r in plan.requests)
                 and any(self._spec_eligible(r.sampling)
+                        and r.spec_cooldown <= 0
                         for r in plan.requests))
             if eligible:
                 return self._run_spec_decode(plan)
@@ -999,6 +1010,8 @@ class LLMEngine:
             self._kv_lens[s] += K
             self._last[s] = int(toks_host[K - 1, r])
             self._samp["steps"][s] += K
+            if req.spec_cooldown > 0:
+                req.spec_cooldown -= K
             if want_lp and req.sampling.logprobs is not None:
                 lp, tv, ti = lp_host
                 for i in range(K):
@@ -1059,7 +1072,7 @@ class LLMEngine:
         for req in plan.requests:
             r = row_of[req.slot]
             tok_mat[r, 0] = self._last[req.slot]
-            if self._spec_eligible(req.sampling):
+            if self._spec_eligible(req.sampling) and req.spec_cooldown <= 0:
                 spec_ok[r] = True
                 hist = np.asarray(
                     req.prompt_token_ids + req.output_token_ids, np.int32)
@@ -1080,6 +1093,8 @@ class LLMEngine:
         # batch-fold, and bench's tokens/round silently became a
         # per-sequence average)
         self.metrics["spec_rounds"] += 1
+        self.metrics["spec_seq_rounds"] += int(spec_ok.sum())
+        min_acc = self.econfig.spec_min_accept
         for req in plan.requests:
             s = req.slot
             r = row_of[s]
@@ -1089,6 +1104,19 @@ class LLMEngine:
             self._last[s] = toks[-1]
             self._samp["steps"][s] += k
             self.metrics["spec_emitted"] += k
+            if spec_ok[r]:
+                self.metrics["spec_row_emitted"] += k
+            if spec_ok[r] and min_acc > 0.0:
+                rate = (k - 1) / K_spec
+                req.spec_accept_ema = (0.5 * req.spec_accept_ema
+                                       + 0.5 * rate)
+                if req.spec_accept_ema < min_acc:
+                    # stop drafting; re-probe after spec_probe_tokens
+                    # emitted tokens with a fresh optimistic EMA
+                    req.spec_cooldown = self.econfig.spec_probe_tokens
+                    req.spec_accept_ema = 1.0
+            elif req.spec_cooldown > 0:
+                req.spec_cooldown -= k
             outputs.append(self._apply_decode_tokens(req, toks))
         dev["tokens"] = jnp.asarray(self._last[dev["rows"]])
         return outputs

@@ -93,6 +93,11 @@ class Request:
     # cfg.prefill_aging_limit the scheduler reverts to strict FIFO for
     # this request so long prompts cannot starve
     prefill_overtaken: int = 0
+    # adaptive speculation state: acceptance-rate EMA (1.0 = optimistic
+    # start) and a token-denominated cooldown after the EMA falls below
+    # cfg.spec_min_accept (the row re-probes when it reaches 0)
+    spec_accept_ema: float = 1.0
+    spec_cooldown: int = 0
     # the USER's prompt length: preemption-with-recompute folds generated
     # tokens into prompt_token_ids (scheduler._preempt), so max_tokens
     # accounting and the user-visible output must slice against this,
