@@ -284,3 +284,80 @@ def test_deferred_decode_pending_window_in_kernel(count):
         interpret=True, window=window, pending=pending)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# round 5: deep-queue manual-DMA decode kernel (ops/attention.py
+# _prefix_kernel_manual). The contract is bit-equality with the auto
+# (Mosaic-pipelined) kernel on every decode feature combination — the two
+# kernels share the head-concat math but schedule page fetches themselves.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("case", ["basic", "int8", "pending", "window",
+                                  "stacked_int8_pending"])
+def test_manual_dma_kernel_matches_auto(case):
+    from vllm_backend_public_tpu.models.common import quantize_kv
+
+    B, MB, BS, NB, nh, nkv, d = 4, 4, 16, 32, 8, 8, 64
+    # edge prefixes: sub-page, page-aligned, full table, EMPTY (0)
+    prefix = [7, BS * 2, BS * MB - 1, 0]
+    q, k_new, v_new, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, prefix, seed=11)
+    scale = 1.0 / np.sqrt(d)
+    kw = {}
+    if case == "int8":
+        (k_pages, kw["k_scale"]), (v_pages, kw["v_scale"]) = (
+            quantize_kv(k_pages), quantize_kv(v_pages))
+    elif case == "pending":
+        key = jax.random.PRNGKey(12)
+        K = 8
+        kb = jax.random.normal(key, (B, nkv, K, d), jnp.float32)
+        vb = jax.random.normal(jax.random.fold_in(key, 1),
+                               (B, nkv, K, d), jnp.float32)
+        kw["pending"] = (kb, vb, jnp.int32(5))
+    elif case == "window":
+        kw["window"] = BS + 3
+    elif case == "stacked_int8_pending":
+        L, K = 3, 8
+        key = jax.random.PRNGKey(13)
+        kq = jax.random.randint(key, (L, NB, nkv, BS, d), -90, 90, jnp.int8)
+        vq = jax.random.randint(jax.random.fold_in(key, 1),
+                                (L, NB, nkv, BS, d), -90, 90, jnp.int8)
+        kw["k_scale"] = jax.random.uniform(
+            jax.random.fold_in(key, 2), (L, NB, nkv, BS), jnp.float32,
+            0.01, 0.03)
+        kw["v_scale"] = jax.random.uniform(
+            jax.random.fold_in(key, 3), (L, NB, nkv, BS), jnp.float32,
+            0.01, 0.03)
+        k_pages, v_pages = kq, vq
+        pkb = jax.random.normal(jax.random.fold_in(key, 4),
+                                (L, K, B, nkv, d), jnp.float32)
+        pvb = jax.random.normal(jax.random.fold_in(key, 5),
+                                (L, K, B, nkv, d), jnp.float32)
+        kw["pending"] = (pkb, pvb, jnp.int32(6))
+        kw["layer"] = jnp.int32(1)
+
+    auto = decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
+                                     bt, pl_, scale, interpret=True,
+                                     manual=False, **kw)
+    man = decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
+                                    bt, pl_, scale, interpret=True,
+                                    manual=True, **kw)
+    np.testing.assert_allclose(np.asarray(man, np.float32),
+                               np.asarray(auto, np.float32),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_manual_dma_kernel_unnormalized_state_matches_auto():
+    """(acc, m, l) triple equality, including rows with prefix 0."""
+    B, MB, BS, NB, nh, nkv, d = 4, 2, 16, 16, 4, 4, 64
+    q, _, _, k_pages, v_pages, bt, pl_ = make_case(
+        B, MB, BS, NB, nh, nkv, d, [20, 31, 0, BS * 2], seed=14)
+    scale = 1.0 / np.sqrt(d)
+    a0 = paged_prefix_attention(q, k_pages, v_pages, bt, pl_, scale,
+                                interpret=True, manual=False)
+    a1 = paged_prefix_attention(q, k_pages, v_pages, bt, pl_, scale,
+                                interpret=True, manual=True)
+    for x, y, name in zip(a0, a1, ("acc", "m", "l")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

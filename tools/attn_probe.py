@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--kspec", type=int, default=32)
     ap.add_argument("--nocompute", action="store_true")
+    ap.add_argument("--manual", action="store_true")
     ap.add_argument("--calls", type=int, default=20)
     args = ap.parse_args()
     if args.nocompute:
@@ -71,7 +72,7 @@ def main():
             o = A.decode_attention_deferred(
                 q, kn, vn, k_pages, v_pages, bt, plens, 1.0 / np.sqrt(D),
                 k_scale=k_scale, v_scale=v_scale, layer=lay,
-                pending=(pk, pv, cnt))
+                pending=(pk, pv, cnt), manual=args.manual)
             return c + o.astype(jnp.float32).sum(), None
         c, _ = jax.lax.scan(
             body, jnp.float32(0), jnp.arange(L, dtype=jnp.int32))
@@ -98,7 +99,8 @@ def main():
     out_mb = B * NKV * G * (D + 2) * 4 / 1e6
     tot_mb = kv_mb + sc_mb + pend_mb + q_mb + out_mb
     gbs = tot_mb / 1e3 / (us_layer / 1e6)
-    print(f"mode={'NOCOMPUTE' if args.nocompute else 'full'} "
+    print(f"mode={'NOCOMPUTE' if args.nocompute else 'full'}"
+          f"{' manual' if args.manual else ''} "
           f"prefix={args.prefix} count={args.count} bs={BS}")
     print(f"{us_layer:7.2f} us/layer  ({dt*1e3:.2f} ms/{L}-layer call)")
     print(f"bytes/layer: kv={kv_mb:.1f} sc={sc_mb:.1f} pend={pend_mb:.1f} "

@@ -82,6 +82,21 @@ def set_interpret(flag: bool) -> None:
 # MXU sits idle on issue latency either way.
 _HEADCAT = _os.environ.get("VBPT_ATTN_HEADCAT", "1") != "0"
 
+# Manual-DMA decode kernel (round 5): one grid step, kernel-managed page
+# fetch queue (depth VBPT_ATTN_MANUAL_Q slots of S sequences' K+V pages)
+# instead of Mosaic's per-grid-step double buffering. Round-5 probes
+# (tools/dma_probe_deepq.py) showed cold 256KB page fetches sustain
+# ~490 GB/s when enough distinct-page descriptors stay in flight, while
+# the auto-pipelined kernel measured 377 GB/s effective with ~36
+# us/layer of additionally non-overlapped compute (tools/attn_probe.py).
+# The manual kernel overlaps compute of slot t with the DMAs of slots
+# t+1..t+Q-1 under its own fori_loop. Decode-only (one query tile).
+_MANUAL = _os.environ.get("VBPT_ATTN_MANUAL", "0") == "1"
+try:
+    _MANUAL_Q = max(2, int(_os.environ.get("VBPT_ATTN_MANUAL_Q", "3")))
+except ValueError:
+    _MANUAL_Q = 3
+
 
 def _prefix_kernel_hc(*args, bs: int, scale: float,
                       window=None, quant: bool = False,
@@ -562,6 +577,452 @@ def _prefix_kernel(*args, bs: int, scale: float,
         l_ref[:] = l_s[:]
 
 
+def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
+                          quant: bool = False, stacked: bool = False,
+                          S: int = 1, mb: int = 1, n_groups: int = 1,
+                          Q: int = 3, nb_pool: int = 0, kk: int = 0,
+                          pending: bool = False, newkv: bool = False,
+                          finalize: bool = False,
+                          pend_k_major: bool = False):
+    """Deep-queue manual-DMA decode kernel (head-concat state layout).
+
+    One grid step. The kernel walks items t = g * mb + i (sequence group
+    g, page step i) with a Q-slot fetch queue: item t's compute overlaps
+    the in-flight DMAs of items t+1..t+Q-1. Per item, up to S K-pages +
+    S V-pages (+ scales) are fetched with per-sequence `pl.when` guards,
+    so invalid pages (beyond a sequence's prefix, or wholly below the
+    sliding window) cost NO HBM traffic — the auto kernel gets the same
+    effect from clamped tables, but pays Mosaic's one-step-lookahead
+    fetch schedule (~377 GB/s effective vs the part's measured ~490
+    cold ceiling, tools/attn_probe.py round 5). The lookahead buffer
+    (`pending`) is fetched once per group, double-buffered, at the
+    group's first item. Math is identical to _prefix_kernel_hc: scores
+    [NKV, S*QT, S*BS] block-diagonal masked, one vectorized
+    online-softmax update per item, pending/new-token merge + finalize
+    folded into the group's last item.
+    """
+    off = 1 if stacked else 0
+    pref = off + 2 + (1 if window is not None else 0) + (1 if pending else 0)
+    bt_ref, kl_ref = args[off], args[off + 1]
+    qp_ref = args[off + 2] if window is not None else kl_ref
+    cnt_ref = args[pref - 1] if pending else None
+    lay_ref = args[0] if stacked else None
+    refs = list(args[pref:])
+    q_ref, k_any, v_any = refs[0], refs[1], refs[2]
+    idx = 3
+    if quant:
+        ks_any, vs_any = refs[idx], refs[idx + 1]
+        idx += 2
+    if pending:
+        pk_any, pv_any = refs[idx], refs[idx + 1]
+        idx += 2
+    if newkv:
+        kn_ref, vn_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    o_ref, m_ref, l_ref = refs[idx:idx + 3]
+    idx += 3
+    kbuf, vbuf = refs[idx], refs[idx + 1]
+    idx += 2
+    if quant:
+        ksbuf, vsbuf = refs[idx], refs[idx + 1]
+        idx += 2
+    if pending:
+        pkbuf, pvbuf = refs[idx], refs[idx + 1]
+        idx += 2
+    m_s, l_s, acc_ref, sems = refs[idx:idx + 4]
+    idx += 4
+    psem = refs[idx] if pending else None
+
+    nkv, qt, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    R = S * qt
+    n_items = n_groups * mb
+    base = lay_ref[0] * nb_pool if stacked else 0
+
+    def seq_ok(seq, i):
+        ok = (kl_ref[seq] - i * bs) > 0
+        if window is not None:
+            ok &= (i * bs + bs - 1) > (qp_ref[seq] - window)
+        return ok
+
+    def page_dmas(t, slot, j):
+        seq = (t // mb) * S + j
+        i = t % mb
+        page = base + bt_ref[seq * mb + i]
+        out = [pltpu.make_async_copy(k_any.at[page], kbuf.at[slot, j],
+                                     sems.at[slot, j]),
+               pltpu.make_async_copy(v_any.at[page], vbuf.at[slot, j],
+                                     sems.at[slot, S + j])]
+        if quant:
+            out += [pltpu.make_async_copy(ks_any.at[page],
+                                          ksbuf.at[slot, j],
+                                          sems.at[slot, 2 * S + j]),
+                    pltpu.make_async_copy(vs_any.at[page],
+                                          vsbuf.at[slot, j],
+                                          sems.at[slot, 3 * S + j])]
+        return out
+
+    # lookahead-buffer fetch: per group (K-row x S-sequence strided
+    # slice), in CH-row chunks so only ceil(cnt / CH) chunks move —
+    # in a fused multi-step call cnt averages K/2, so this halves the
+    # buffer traffic (~13 us/layer at b64 K32). Rows >= cnt are masked
+    # in the merge; their VMEM slots hold zeros (start-of-kernel
+    # zeroing) or stale finite data from an earlier group. A single
+    # contiguous layer-wide fetch measured SLOWER end-to-end (+11 us):
+    # its 2 x 4MB descriptors serialize against the page stream.
+    CH = min(8, kk) if kk else 0
+    n_pchunks = -(-kk // CH) if kk else 0
+
+    def pend_dmas(g, c):
+        pslot = jax.lax.rem(g, 2)
+        r0 = c * CH
+        if pend_k_major:
+            base_r = lay_ref[0] * kk if stacked else 0
+            srck = pk_any.at[pl.ds(base_r + r0, CH), pl.ds(g * S, S)]
+            srcv = pv_any.at[pl.ds(base_r + r0, CH), pl.ds(g * S, S)]
+            dstk = pkbuf.at[pslot, pl.ds(r0, CH)]
+            dstv = pvbuf.at[pslot, pl.ds(r0, CH)]
+        else:
+            srck = pk_any.at[pl.ds(g * S, S), :, pl.ds(r0, CH)]
+            srcv = pv_any.at[pl.ds(g * S, S), :, pl.ds(r0, CH)]
+            dstk = pkbuf.at[pslot, :, :, pl.ds(r0, CH)]
+            dstv = pvbuf.at[pslot, :, :, pl.ds(r0, CH)]
+        return [pltpu.make_async_copy(srck, dstk, psem.at[pslot, 0, c]),
+                pltpu.make_async_copy(srcv, dstv, psem.at[pslot, 1, c])]
+
+    def start_item(t, slot):
+        g, i = t // mb, t % mb
+        for j in range(S):
+            ok = seq_ok(g * S + j, i)
+
+            @pl.when(ok)
+            def _():
+                for dma in page_dmas(t, slot, j):
+                    dma.start()
+
+            # a skipped page's p columns are exact zeros, but
+            # 0 * NaN = NaN through the P-V dot if the V-side slot
+            # holds uninitialized FLOAT garbage. int8 garbage is always
+            # finite, so the quant path only needs its f32 v-scale slot
+            # (8KB) zeroed — zeroing the 256KB V page itself measured
+            # ~16 MB/layer of pure VPU stores at the flagship shapes.
+            # K-side garbage is masked before use (scores -> NEG_INF).
+            @pl.when(jnp.logical_not(ok))
+            def _():
+                if quant:
+                    vsbuf[slot, j] = jnp.zeros_like(vsbuf[slot, j])
+                elif jnp.issubdtype(vbuf.dtype, jnp.floating):
+                    vbuf[slot, j] = jnp.zeros_like(vbuf[slot, j])
+        if pending:
+            for c in range(n_pchunks):
+                @pl.when((i == 0) & (cnt_ref[0] > c * CH))
+                def _():
+                    for dma in pend_dmas(g, c):
+                        dma.start()
+
+    def wait_item(t, slot):
+        g, i = t // mb, t % mb
+        for j in range(S):
+            @pl.when(seq_ok(g * S + j, i))
+            def _():
+                for dma in page_dmas(t, slot, j):
+                    dma.wait()
+        if pending:
+            for c in range(n_pchunks):
+                @pl.when((i == mb - 1) & (cnt_ref[0] > c * CH))
+                def _():
+                    for dma in pend_dmas(g, c):
+                        dma.wait()
+
+    def cat_mask(g, C_blk, col_valid):
+        """Block-diagonal keep over [R, S*C_blk] (see _prefix_kernel_hc)."""
+        C = S * C_blk
+        colc = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        rowr = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        cc = colc % C_blk
+        keep = None
+        for j in range(S):
+            blk = ((colc // C_blk) == j) & ((rowr // qt) == j)
+            mj = blk & col_valid(j, cc)
+            keep = mj if keep is None else (keep | mj)
+        return keep
+
+    nocompute = _os.environ.get("VBPT_ATTN_NOCOMPUTE", "") == "1"
+
+    def compute_item(t, slot):
+        g, i = t // mb, t % mb
+
+        @pl.when(i == 0)
+        def _():
+            m_s[:] = jnp.full_like(m_s, NEG_INF)
+            l_s[:] = jnp.zeros_like(l_s)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        process = None
+        for j in range(S):
+            ok = seq_ok(g * S + j, i)
+            process = ok if process is None else (process | ok)
+        if nocompute:
+            process = process & (t < 0)
+
+        @pl.when(process)
+        def _():
+            qv = q_ref[pl.ds(g * S, S)]                # [S, NKV, QT, D]
+            q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
+            # Mosaic's matmul wants rank-3 operands with leading batch
+            # (multi-dim contractions and non-leading rhs batch dims
+            # both fail to lower), so the page block pays one VMEM
+            # relayout to the concat layout per item
+            k_cat = (kbuf[slot].transpose(1, 0, 2, 3)
+                     .reshape(nkv, S * bs, d))         # [NKV, S*BS, D]
+            if k_cat.dtype == jnp.int8:
+                k_cat = k_cat.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_cat.astype(k_cat.dtype), k_cat,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = s.astype(jnp.float32) * scale          # [NKV, R, S*BS]
+            if quant:
+                ks_cat = (ksbuf[slot].transpose(1, 0, 2)
+                          .reshape(nkv, S * bs))
+                s = s * ks_cat[:, None, :]
+
+            def page_valid(j, cc):
+                mj = cc < (kl_ref[g * S + j] - i * bs)
+                if window is not None:
+                    mj &= (cc + i * bs) > (qp_ref[g * S + j] - window)
+                return mj
+
+            keep = cat_mask(g, bs, page_valid)         # [R, S*BS]
+            s = jnp.where(keep[None], s, NEG_INF)
+            m_prev = m_s[...]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            # universal remask — see _prefix_kernel (kills exp(0)=1 on
+            # fully-masked sequences AND garbage in unfetched slots:
+            # a skipped page's buffer holds stale bytes, masked here)
+            p = jnp.where(keep[None], p, 0.0)
+            l_s[...] = (l_s[...] * alpha
+                        + jnp.sum(p, axis=2, keepdims=True))
+            if quant:
+                vs_cat = (vsbuf[slot].transpose(1, 0, 2)
+                          .reshape(nkv, S * bs))
+                p = p * vs_cat[:, None, :]
+            v_cat = (vbuf[slot].transpose(1, 0, 2, 3)
+                     .reshape(nkv, S * bs, d))
+            if v_cat.dtype == jnp.int8:
+                v_cat = v_cat.astype(jnp.bfloat16)
+            acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+                p.astype(v_cat.dtype), v_cat, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m_s[...] = m_new
+
+    def tail_item(t):
+        g = t // mb
+        if pending:
+            @pl.when(cnt_ref[0] > 0)
+            def _():
+                cnt = cnt_ref[0]
+                pslot = jax.lax.rem(g, 2)
+                qv = q_ref[pl.ds(g * S, S)].astype(jnp.float32)
+                q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
+                kp = pkbuf[pslot]
+                vp = pvbuf[pslot]
+                if pend_k_major:                       # [K, S, NKV, D]
+                    kp_cat = kp.transpose(2, 1, 0, 3)  # [NKV, S, K, D]
+                    vp_cat = vp.transpose(2, 1, 0, 3)
+                else:                                  # [S, NKV, K, D]
+                    kp_cat = kp.transpose(1, 0, 2, 3)
+                    vp_cat = vp.transpose(1, 0, 2, 3)
+                kp_cat = kp_cat.reshape(nkv, S * kk, d).astype(jnp.float32)
+                vp_cat = vp_cat.reshape(nkv, S * kk, d).astype(jnp.float32)
+                sp = jax.lax.dot_general(
+                    q_cat, kp_cat, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * scale
+
+                def pend_valid(j, cc):
+                    mj = cc < cnt
+                    if window is not None:
+                        mj &= ((cc + kl_ref[g * S + j])
+                               > (qp_ref[g * S + j] - window))
+                    return mj
+
+                keep = cat_mask(g, kk, pend_valid)     # [R, S*K]
+                sp = jnp.where(keep[None], sp, NEG_INF)
+                m_prev = m_s[...]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(sp, axis=2, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(sp - m_new)
+                p = jnp.where(keep[None], p, 0.0)
+                l_s[...] = (l_s[...] * alpha
+                            + jnp.sum(p, axis=2, keepdims=True))
+                acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+                    p, vp_cat, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                m_s[...] = m_new
+        if newkv:
+            qv = q_ref[pl.ds(g * S, S)].astype(jnp.float32)
+            q_cat = qv.transpose(1, 0, 2, 3)           # [NKV, S, QT, D]
+            kn = kn_ref[pl.ds(g * S, S)].astype(jnp.float32)
+            vn = vn_ref[pl.ds(g * S, S)].astype(jnp.float32)
+            kn_t = kn.transpose(1, 0, 2)               # [NKV, S, D]
+            vn_t = vn.transpose(1, 0, 2)
+            s1 = jnp.sum(q_cat * kn_t[:, :, None, :], axis=3,
+                         keepdims=True) * scale        # [NKV, S, QT, 1]
+            s1 = s1.reshape(nkv, R, 1)
+            m_prev = m_s[...]
+            m_new = jnp.maximum(m_prev, s1)
+            alpha = jnp.exp(m_prev - m_new)
+            p1 = jnp.exp(s1 - m_new)
+            l_s[...] = l_s[...] * alpha + p1
+            upd = (p1.reshape(nkv, S, qt, 1)
+                   * vn_t[:, :, None, :]).reshape(nkv, R, d)
+            acc_ref[...] = acc_ref[...] * alpha + upd
+            m_s[...] = m_new
+
+        def to_out(x):
+            last = x.shape[-1]
+            return x.reshape(nkv, S, qt, last).transpose(1, 0, 2, 3)
+
+        if finalize:
+            out = to_out(acc_ref[...] / jnp.maximum(l_s[...], 1e-30))
+        else:
+            out = to_out(acc_ref[...])
+        o_ref[pl.ds(g * S, S)] = out.astype(o_ref.dtype)
+        m_ref[pl.ds(g * S, S)] = to_out(m_s[...])
+        l_ref[pl.ds(g * S, S)] = to_out(l_s[...])
+
+    if pending:
+        pvbuf[...] = jnp.zeros_like(pvbuf)
+    for t0 in range(min(Q - 1, n_items)):
+        start_item(t0, t0 % Q)
+
+    # issue-BEFORE-compute rotation (the guide's double-buffer order):
+    # at body t the DMAs for item t+Q-1 go into slot (t-1) % Q — the
+    # buffer whose compute was issued LAST iteration and has had a full
+    # DMA-wait to drain. Starting into the just-computed slot after
+    # compute (the naive order) serializes the loop on the
+    # scalar<->vector hazard sync each item (measured +~25 us/layer).
+    def body(t, _):
+        nxt = t + Q - 1
+
+        @pl.when(nxt < n_items)
+        def _():
+            start_item(nxt, jax.lax.rem(nxt, Q))
+        slot = jax.lax.rem(t, Q)
+        wait_item(t, slot)
+        compute_item(t, slot)
+
+        @pl.when(t % mb == mb - 1)
+        def _():
+            tail_item(t)
+        return ()
+
+    jax.lax.fori_loop(0, n_items, body, (), unroll=False)
+
+
+def _manual_attention_call(qg, k_pages, v_pages, flat_bt, prefix_lens,
+                           scale, *, window, qpos_lens, k_scale, v_scale,
+                           pk_op, pv_op, count, new_kv, layer, nb_pool,
+                           S, bs, mb, kk, p_stacked, finalize, interpret):
+    """pallas_call plumbing for _prefix_kernel_manual (decode only).
+
+    Pools/scales (and the folded pending buffer) ride in ANY memory
+    space — the kernel DMAs pages itself; q / new-kv and the outputs are
+    ordinary VMEM blocks on a one-step grid. VMEM budget: Q slots of
+    S K+V page blocks dominate (Q*S*2*bs*d*nkv bytes); the scoped limit
+    is raised to fit — v5e has 128MB physical VMEM, the default 16MB
+    scoped cap exists for Mosaic's auto-pipelining headroom the manual
+    kernel doesn't need.
+    """
+    b, nkv, g, d = qg.shape
+    stacked = layer is not None
+    quant = k_scale is not None
+    pending = pk_op is not None
+    newkv = new_kv is not None
+    n_groups = b // S
+    Q = min(_MANUAL_Q, max(2, n_groups * mb))
+
+    prefetch = [flat_bt, jnp.asarray(prefix_lens, jnp.int32)]
+    if window is not None:
+        prefetch.append(jnp.asarray(qpos_lens, jnp.int32))
+    if pending:
+        prefetch.append(jnp.asarray(count, jnp.int32).reshape(1))
+    if stacked:
+        prefetch.insert(0, jnp.asarray(layer, jnp.int32).reshape(1))
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    def whole(shape):
+        return pl.BlockSpec(shape, lambda *a: (0,) * len(shape))
+
+    in_specs = [whole((b, nkv, g, d)), any_spec, any_spec]
+    operands = [qg, k_pages, v_pages]
+    if quant:
+        in_specs += [any_spec, any_spec]
+        operands += [k_scale, v_scale]
+    if pending:
+        in_specs += [any_spec, any_spec]
+        operands += [pk_op, pv_op]
+    if newkv:
+        in_specs += [whole((b, nkv, d))] * 2
+        operands += [new_kv[0], new_kv[1]]
+
+    kv_dt = k_pages.dtype
+    scratch = [pltpu.VMEM((Q, S, nkv, bs, d), kv_dt),
+               pltpu.VMEM((Q, S, nkv, bs, d), kv_dt)]
+    if quant:
+        scratch += [pltpu.VMEM((Q, S, nkv, bs), jnp.float32)] * 2
+    if pending:
+        pshape = ((2, kk, S, nkv, d) if p_stacked
+                  else (2, S, nkv, kk, d))
+        scratch += [pltpu.VMEM(pshape, pk_op.dtype)] * 2
+    scratch += [pltpu.VMEM((nkv, S * g, 1), jnp.float32),
+                pltpu.VMEM((nkv, S * g, 1), jnp.float32),
+                pltpu.VMEM((nkv, S * g, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((Q, 4 * S if quant else 2 * S))]
+    if pending:
+        scratch.append(pltpu.SemaphoreType.DMA(
+            (2, 2, -(-kk // min(8, kk)))))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=(whole((b, nkv, g, d)),
+                   whole((b, nkv, g, 1)),
+                   whole((b, nkv, g, 1))),
+        scratch_shapes=scratch,
+    )
+    # scoped-VMEM cap: page slots + q/out/state + compute temporaries
+    slot_bytes = (2 * S * nkv * bs * d * kv_dt.itemsize
+                  + (2 * S * nkv * bs * 4 if quant else 0))
+    vmem_bytes = min(100 * 1024 * 1024,
+                     Q * slot_bytes + 24 * 1024 * 1024)
+
+    acc, m, l = pl.pallas_call(
+        functools.partial(_prefix_kernel_manual,
+                          bs=bs, scale=scale, window=window, quant=quant,
+                          stacked=stacked, S=S, mb=mb, n_groups=n_groups,
+                          Q=Q, nb_pool=nb_pool, kk=kk, pending=pending,
+                          newkv=newkv, finalize=finalize,
+                          pend_k_major=p_stacked),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv, g, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(*prefetch, *operands)
+    r = nkv * g
+    return (acc.reshape(b, r, d), m.reshape(b, r, 1), l.reshape(b, r, 1))
+
+
 def _pick_qtile(rows: int) -> int:
     # 128 rows keeps the f32 accumulator + double-buffered out blocks well
     # under the 16MB VMEM scoped limit (512 rows measured 16.47MB — OOM)
@@ -576,7 +1037,7 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            window=None, k_scale=None, v_scale=None,
                            layer=None, qpos_lens=None, pending_kv=None,
                            count=None, new_kv=None, finalize=False,
-                           qpos_group=None):
+                           qpos_group=None, manual=None):
     """Unnormalized flash attention over cached prefix pages (mesh-aware).
 
     Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
@@ -597,13 +1058,13 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             interpret=interpret, window=window, k_scale=k_scale,
             v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
             pending_kv=pending_kv, count=count, new_kv=new_kv,
-            finalize=finalize, qpos_group=qpos_group)
+            finalize=finalize, qpos_group=qpos_group, manual=manual)
     return _paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
         v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
         pending_kv=pending_kv, count=count, new_kv=new_kv,
-        finalize=finalize, qpos_group=qpos_group)
+        finalize=finalize, qpos_group=qpos_group, manual=manual)
 
 
 def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
@@ -612,7 +1073,8 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                                     k_scale=None, v_scale=None, layer=None,
                                     qpos_lens=None, pending_kv=None,
                                     count=None, new_kv=None,
-                                    finalize=False, qpos_group=None):
+                                    finalize=False, qpos_group=None,
+                                    manual=None):
     """shard_map TP/EP wrapping of the local kernel.
 
     Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
@@ -687,7 +1149,7 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
             k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp,
             pending_kv=pkv, count=cnt, new_kv=nkv_, finalize=finalize,
-            qpos_group=qpos_group)
+            qpos_group=qpos_group, manual=manual)
 
     # nested inside another shard_map (pipeline parallelism's pipe-manual
     # region): the inner wrap must be built against the CONTEXT abstract
@@ -707,13 +1169,14 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window",
-                                             "finalize", "qpos_group"))
+                                             "finalize", "qpos_group",
+                                             "manual"))
 def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                             scale: float, interpret: bool = False,
                             window=None, k_scale=None, v_scale=None,
                             layer=None, qpos_lens=None, pending_kv=None,
                             count=None, new_kv=None, finalize=False,
-                            qpos_group=None):
+                            qpos_group=None, manual=None):
     """Single-device kernel invocation.
 
     qpos_lens: true query positions for the sliding-window bound (the
@@ -822,6 +1285,49 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         if k_scale is not None:
             k_scale = k_scale.reshape((-1,) + k_scale.shape[2:])
             v_scale = v_scale.reshape((-1,) + v_scale.shape[2:])
+
+    # Deep-queue manual-DMA decode path (see _prefix_kernel_manual).
+    # Decode semantics only (no per-row window bounds — chunked-prefill
+    # tiles with a sliding window stay on the auto kernel); the QK-int8
+    # experiment stays on the auto kernel too.
+    use_manual = _MANUAL if manual is None else manual
+    rowwise_window = (window is not None and qpos_group is not None
+                      and qpos_group != g)
+    if (use_manual and nqt == 1 and not rowwise_window
+            and not (k_scale is not None and _QK_INT8)):
+        # the manual kernel raises the scoped-VMEM cap, so it can run
+        # WIDER sequence groups than the auto kernel's S<=8: fewer,
+        # longer items amortize the per-item scalar work (predicates,
+        # DMA starts/waits) and feed the MXU bigger dots. Budget: Q
+        # double-sided page slots within ~48MB.
+        kv_b = 1 if k_pages.dtype == jnp.int8 else 2
+        if _SEQ_INTERLEAVE is not None:
+            want_m = _SEQ_INTERLEAVE
+        else:
+            want_m = 48_000_000 // (_MANUAL_Q * 2 * nkv * bs * d * kv_b)
+        for cand in (16, 8, 4, 2, 1):
+            if cand <= want_m and b % cand == 0:
+                S = cand
+                break
+        pk_op = pv_op = None
+        kk_m = 0
+        pstk = False
+        if pending_kv is not None:
+            pstk = pending_kv[0].ndim == 5
+            if pstk and not stacked:
+                raise ValueError("stacked pending buffer needs `layer`")
+            pk_op, pv_op = pending_kv[0], pending_kv[1]
+            kk_m = pk_op.shape[1] if pstk else pk_op.shape[2]
+            if pstk:
+                pk_op = pk_op.reshape((-1,) + pk_op.shape[2:])
+                pv_op = pv_op.reshape((-1,) + pv_op.shape[2:])
+        return _manual_attention_call(
+            qg, k_pages, v_pages, flat_bt, prefix_lens, scale,
+            window=window, qpos_lens=qpos_lens, k_scale=k_scale,
+            v_scale=v_scale, pk_op=pk_op, pv_op=pv_op, count=count,
+            new_kv=new_kv, layer=layer, nb_pool=nb_pool, S=S, bs=bs,
+            mb=mb, kk=kk_m, p_stacked=pstk, finalize=finalize,
+            interpret=interpret)
 
     def page_index_j(j):
         def index(bi, qi, ii, *pref):
@@ -971,7 +1477,7 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
                               block_tables, prefix_lens, scale: float,
                               interpret: bool = False,
                               k_scale=None, v_scale=None, window=None,
-                              layer=None, pending=None):
+                              layer=None, pending=None, manual=None):
     """Full decode attention WITHOUT writing the cache: prefix pages,
     the lookahead buffer, the new token's own KV, and the softmax
     normalization all inside ONE Pallas kernel call.
@@ -1000,7 +1506,8 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
         v_scale=v_scale, layer=layer, qpos_lens=qpos,
-        pending_kv=pkv, count=cnt, new_kv=(k_new, v_new), finalize=True)
+        pending_kv=pkv, count=cnt, new_kv=(k_new, v_new), finalize=True,
+        manual=manual)
     return out.reshape(b, nh, d).astype(q.dtype)
 
 
