@@ -211,3 +211,83 @@ def test_awq_int4_beats_rtn_int4():
     assert awq < rtn, (base, rtn, awq)
     # the activation-aware pass should recover most of the RTN damage
     assert (awq - base) < 0.6 * (rtn - base), (base, rtn, awq)
+
+
+def test_int8_pending_buffer_matches_bf16_buffer(tiny, monkeypatch):
+    """round 5: the int8 lookahead buffer (quantize-at-write) must flush a
+    bit-identical cache and keep decode on the same greedy trajectory as
+    the kill-switched (float-buffer) engine: both quantize the SAME
+    values with the SAME quantize_kv — only WHERE attention reads the
+    in-flight tokens differs (quantized a few steps earlier)."""
+    cfg, params, _ = tiny
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).tolist()
+               for n in (9, 13)]
+
+    def run(flag):
+        monkeypatch.setenv("VBPT_PENDING_INT8", flag)
+        engine = LLMEngine(
+            EngineConfig(model="t", dtype="float32", kv_cache_dtype="int8",
+                         block_size=8, max_num_seqs=2, max_model_len=64,
+                         num_kv_blocks=32, decode_steps_per_call=4),
+            model_cfg=cfg, params=params)
+        outs = engine.generate(prompts, SamplingParams(
+            max_tokens=10, temperature=0.0, ignore_eos=True))
+        return [o.output_token_ids for o in outs]
+
+    on = run("1")
+    off = run("0")
+    # int8-KV decode is lossy either way; the two buffer disciplines
+    # read in-flight tokens at slightly different precision, so demand
+    # agreement on a solid prefix of every sequence
+    for a, b in zip(on, off):
+        assert a[:6] == b[:6], (a, b)
+
+
+def test_quantized_pending_attention_parity():
+    """ops-level: int8 pending + scales through the kernel == the same
+    buffer dequantized up front (both interpret-mode, all paths)."""
+    from vllm_backend_public_tpu.models.common import quantize_kv
+    from vllm_backend_public_tpu.ops.attention import (
+        decode_attention_deferred, decode_attention_deferred_xla)
+
+    B, MB, BS, NB, nh, nkv, d = 4, 2, 16, 32, 8, 8, 64
+    L, K = 3, 8
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 9)
+    q = jax.random.normal(ks[0], (B, nh, d), jnp.float32)
+    kn = jax.random.normal(ks[1], (B, nkv, d), jnp.float32)
+    vn = jax.random.normal(ks[2], (B, nkv, d), jnp.float32)
+    kp = jax.random.normal(ks[3], (L, NB, nkv, BS, d), jnp.float32)
+    vp = jax.random.normal(ks[4], (L, NB, nkv, BS, d), jnp.float32)
+    bt = jax.random.permutation(ks[5], jnp.arange(1, NB))[:B * MB] \
+        .reshape(B, MB).astype(jnp.int32)
+    pl_ = jnp.asarray([7, BS * 2, BS * MB - 1, 0], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+    pkb = jax.random.normal(ks[6], (L, K, B, nkv, d), jnp.float32)
+    pvb = jax.random.normal(ks[7], (L, K, B, nkv, d), jnp.float32)
+    pkq, pks = quantize_kv(pkb)
+    pvq, pvs = quantize_kv(pvb)
+    pk_dq = pkq.astype(jnp.float32) * pks[..., None]
+    pv_dq = pvq.astype(jnp.float32) * pvs[..., None]
+    cnt = jnp.int32(5)
+    lay = jnp.int32(1)
+    for manual in (False, True):
+        a = decode_attention_deferred(
+            q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
+            pending=(pkq, pvq, cnt, pks, pvs), layer=lay, manual=manual)
+        b = decode_attention_deferred(
+            q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
+            pending=(pk_dq, pv_dq, cnt), layer=lay, manual=manual)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    # XLA reference (page-shaped 5-tuple, stacked pools via layer)
+    xr = decode_attention_deferred_xla(
+        q, kn, vn, kp, vp, bt, pl_, scale, layer=lay,
+        pending=(pkq[1].transpose(1, 2, 0, 3), pvq[1].transpose(1, 2, 0, 3),
+                 cnt, pks[1].transpose(1, 2, 0), pvs[1].transpose(1, 2, 0)))
+    a = decode_attention_deferred(
+        q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
+        pending=(pkq, pvq, cnt, pks, pvs), layer=lay)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(xr),
+                               rtol=2e-5, atol=2e-5)

@@ -410,6 +410,15 @@ class LLMEngine:
         use_pending = self.econfig.pipeline_parallel_size == 1
         nkv, hd, L = cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
         buf_dtype = self.econfig.jnp_dtype()
+        # int8 lookahead buffer (round 5): with an int8 KV cache the
+        # pending tokens get quantized at flush anyway — quantizing at
+        # WRITE time makes the flushed cache bit-identical while halving
+        # the buffer the attention kernel re-reads every layer
+        # (8.4 -> 4.2 MB/layer + 0.3 MB scales at llama8b b64 K32).
+        # VBPT_PENDING_INT8=0 is the A/B kill-switch.
+        quant_pending = (use_pending and self.cache.quantized
+                         and os.environ.get("VBPT_PENDING_INT8",
+                                            "1") != "0")
 
         def one_decode(params, cache, counts, tokens, kv_lens,
                        block_tables, active, samp, steps, rows,
@@ -507,18 +516,29 @@ class LLMEngine:
                 # back to page shape in VMEM, where the relayout is
                 # ~free; round 3 couldn't use K-major because the merge
                 # ran in XLA, whose einsums forced K-second-minor.
-                k_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
-                v_bufs = jnp.zeros((L, k_steps, W, nkv, hd), buf_dtype)
+                pdt = jnp.int8 if quant_pending else buf_dtype
+                k_bufs = jnp.zeros((L, k_steps, W, nkv, hd), pdt)
+                v_bufs = jnp.zeros((L, k_steps, W, nkv, hd), pdt)
             else:
                 k_bufs = v_bufs = jnp.zeros((), buf_dtype)
+            if use_pending and quant_pending:
+                ksc_bufs = jnp.zeros((L, k_steps, W, nkv), jnp.float32)
+                vsc_bufs = jnp.zeros((L, k_steps, W, nkv), jnp.float32)
+            else:
+                ksc_bufs = vsc_bufs = jnp.zeros((), jnp.float32)
 
             def body(i, carry):
                 # in pending mode the cache is NOT in the carry: the loop
                 # reads it as an invariant (closure) — a carried multi-GB
                 # buffer would be copied every iteration
                 (toks_buf, lp_buf, tv_buf, ti_buf, tokens, cache_c, counts,
-                 kv_lens, steps, k_bufs, v_bufs) = carry
-                pending = ((k_bufs, v_bufs, i) if use_pending else None)
+                 kv_lens, steps, k_bufs, v_bufs, ksc_bufs,
+                 vsc_bufs) = carry
+                if use_pending:
+                    pending = ((k_bufs, v_bufs, i, ksc_bufs, vsc_bufs)
+                               if quant_pending else (k_bufs, v_bufs, i))
+                else:
+                    pending = None
                 (toks, new_cache, counts, kv_lens, steps, logits,
                  kv_news) = one_decode(
                     params, cache if use_pending else cache_c, counts,
@@ -526,7 +546,19 @@ class LLMEngine:
                     active, samp, steps, rows, greedy_only, pending)
                 if not use_pending:
                     cache_c = new_cache
-                if use_pending:
+                if use_pending and quant_pending:
+                    from ..models.common import quantize_kv
+                    kq_, ks_ = quantize_kv(kv_news[0])
+                    vq_, vs_ = quantize_kv(kv_news[1])
+                    k_bufs = jax.lax.dynamic_update_index_in_dim(
+                        k_bufs, kq_, i, axis=1)
+                    v_bufs = jax.lax.dynamic_update_index_in_dim(
+                        v_bufs, vq_, i, axis=1)
+                    ksc_bufs = jax.lax.dynamic_update_index_in_dim(
+                        ksc_bufs, ks_, i, axis=1)
+                    vsc_bufs = jax.lax.dynamic_update_index_in_dim(
+                        vsc_bufs, vs_, i, axis=1)
+                elif use_pending:
                     k_bufs = jax.lax.dynamic_update_index_in_dim(
                         k_bufs, kv_news[0].astype(buf_dtype), i, axis=1)
                     v_bufs = jax.lax.dynamic_update_index_in_dim(
@@ -543,15 +575,18 @@ class LLMEngine:
                     ti_buf = jax.lax.dynamic_update_index_in_dim(
                         ti_buf, ti, i, axis=0)
                 return (toks_buf, lp_buf, tv_buf, ti_buf, toks, cache_c,
-                        counts, kv_lens, steps, k_bufs, v_bufs)
+                        counts, kv_lens, steps, k_bufs, v_bufs,
+                        ksc_bufs, vsc_bufs)
 
             carry_cache = (jnp.zeros((), buf_dtype) if use_pending
                            else cache)
             (toks_buf, lp_buf, tv_buf, ti_buf, _, carry_cache, counts,
-             kv_lens, steps, k_bufs, v_bufs) = jax.lax.fori_loop(
+             kv_lens, steps, k_bufs, v_bufs, ksc_bufs,
+             vsc_bufs) = jax.lax.fori_loop(
                 0, k_steps, body,
                 (toks_buf, lp_buf, tv_buf, ti_buf, tokens, carry_cache,
-                 counts, kv_lens, steps, k_bufs, v_bufs))
+                 counts, kv_lens, steps, k_bufs, v_bufs, ksc_bufs,
+                 vsc_bufs))
             if not use_pending:
                 cache = carry_cache
             if use_pending:
@@ -567,7 +602,10 @@ class LLMEngine:
                 # K-major [L, K, W, NKV, D] -> per-token [L, W, K, NKV, D]
                 cache = write_kv_all_layers(
                     cache, k_bufs.transpose(0, 2, 1, 3, 4),
-                    v_bufs.transpose(0, 2, 1, 3, 4), wattn)
+                    v_bufs.transpose(0, 2, 1, 3, 4), wattn,
+                    kv_scales=((ksc_bufs.transpose(0, 2, 1, 3),
+                                vsc_bufs.transpose(0, 2, 1, 3))
+                               if quant_pending else None))
             return (toks_buf, cache, counts, kv_lens, steps,
                     (lp_buf, tv_buf, ti_buf) if want_logprobs else None)
 

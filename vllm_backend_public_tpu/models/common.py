@@ -338,12 +338,21 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
             # layer-indexes it via scalar prefetch (zero-copy); the XLA
             # fallback needs this layer's slice back in page shape
             assert layer_idx is not None
-            pending = (
+            sliced = (
                 jax.lax.dynamic_index_in_dim(pending[0], layer_idx, 0,
                                              False).transpose(1, 2, 0, 3),
                 jax.lax.dynamic_index_in_dim(pending[1], layer_idx, 0,
                                              False).transpose(1, 2, 0, 3),
                 pending[2])
+            if len(pending) == 5:
+                # int8 buffer: slice the per-(step, seq, head) scales to
+                # page shape [B, NKV, K] alongside
+                sliced = sliced + (
+                    jax.lax.dynamic_index_in_dim(
+                        pending[3], layer_idx, 0, False).transpose(1, 2, 0),
+                    jax.lax.dynamic_index_in_dim(
+                        pending[4], layer_idx, 0, False).transpose(1, 2, 0))
+            pending = sliced
         q1, k1, v1 = q[:, 0], k[:, 0], v[:, 0]
         if use_kernel:
             out = decode_attention_deferred(
@@ -404,7 +413,8 @@ def attention_block(x, layer, cfg: ModelConfig, attn: AttnInputs,
 
 
 def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
-                        v_news: jax.Array, attn: AttnInputs) -> KVCache:
+                        v_news: jax.Array, attn: AttnInputs,
+                        kv_scales=None) -> KVCache:
     """One scatter for every layer's deferred K/V.
 
     k_news/v_news: [L, B, NKV, D] (decode) or [L, B, T, NKV, D] (chunked
@@ -422,10 +432,17 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
     - "point": every (token, layer, head) gets an explicit index with a
       [head_dim]-only window — zero temp bytes (the pool is updated
       strictly in place), measured ~1.6 ms/call slower at B=64 x K=32.
+
+    kv_scales: (k_scales, v_scales) [L, B(, T), NKV] when k_news/v_news
+    are ALREADY int8 (the quantized lookahead buffer) — the flush then
+    copies values+scales instead of re-quantizing, bit-identical to
+    quantizing here.
     """
     if k_news.ndim == 4:
         k_news = k_news[:, :, None]
         v_news = v_news[:, :, None]
+        if kv_scales is not None:
+            kv_scales = (kv_scales[0][:, :, None], kv_scales[1][:, :, None])
     L, b, t, nkv, d = k_news.shape
     nb = cache.num_blocks
     bs = cache.block_size
@@ -440,8 +457,13 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
         kn_ = k_news.transpose(1, 2, 0, 3, 4).reshape(r, L, nkv, d)
         vn_ = v_news.transpose(1, 2, 0, 3, 4).reshape(r, L, nkv, d)
         if cache.quantized:
-            kq, ksc = quantize_kv(kn_)
-            vq, vsc = quantize_kv(vn_)
+            if kv_scales is not None:
+                kq, vq = kn_, vn_
+                ksc = kv_scales[0].transpose(1, 2, 0, 3).reshape(r, L, nkv)
+                vsc = kv_scales[1].transpose(1, 2, 0, 3).reshape(r, L, nkv)
+            else:
+                kq, ksc = quantize_kv(kn_)
+                vq, vsc = quantize_kv(vn_)
             return KVCache(
                 k=cache.k.at[:, blkf, :, offf].set(kq, mode="drop"),
                 v=cache.v.at[:, blkf, :, offf].set(vq, mode="drop"),
@@ -465,8 +487,13 @@ def write_kv_all_layers(cache: KVCache, k_news: jax.Array,
     kn = k_news.reshape(L, r, nkv, d).transpose(1, 0, 2, 3)
     vn = v_news.reshape(L, r, nkv, d).transpose(1, 0, 2, 3)
     if cache.quantized:
-        kq, ksc = quantize_kv(kn)
-        vq, vsc = quantize_kv(vn)
+        if kv_scales is not None:
+            kq, vq = kn, vn
+            ksc = kv_scales[0].reshape(L, r, nkv).transpose(1, 0, 2)
+            vsc = kv_scales[1].reshape(L, r, nkv).transpose(1, 0, 2)
+        else:
+            kq, ksc = quantize_kv(kn)
+            vq, vsc = quantize_kv(vn)
         return KVCache(
             k=cache.k.at[l3, blk3, h3, off3].set(kq, mode="drop"),
             v=cache.v.at[l3, blk3, h3, off3].set(vq, mode="drop"),

@@ -103,7 +103,8 @@ def _prefix_kernel_hc(*args, bs: int, scale: float,
                       stacked: bool = False, S: int = 1,
                       pending: bool = False, newkv: bool = False,
                       finalize: bool = False, group: int = 0,
-                      rowwise: bool = False, pend_k_major: bool = False):
+                      rowwise: bool = False, pend_k_major: bool = False,
+                      pquant: bool = False):
     """Head-concat variant of _prefix_kernel (same operand contract).
 
     State lives head-major: scores [NKV, S*QT, S*BS], online-softmax
@@ -132,6 +133,9 @@ def _prefix_kernel_hc(*args, bs: int, scale: float,
     if pending:
         pk_ref, pv_ref = refs[idx:idx + 2]
         idx += 2
+        if pquant:
+            psk_ref, psv_ref = refs[idx:idx + 2]
+            idx += 2
     if newkv:
         kn_ref, vn_ref = refs[idx:idx + 2]
         idx += 2
@@ -247,6 +251,15 @@ def _prefix_kernel_hc(*args, bs: int, scale: float,
                 q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
                 kp = pk_ref[...]
                 vp = pv_ref[...]
+                if pquant:
+                    # int8 lookahead buffer: dequantize AT WIDTH before
+                    # the transpose — unlike the page pool (where the
+                    # [*, D]-sized multiply is the kernel's biggest VPU
+                    # term), the pending block is tiny, and folding the
+                    # scales into sp/p needs an [NKV, S, K]->[NKV, S*K]
+                    # reshape Mosaic rejects ("unsupported shape cast")
+                    kp = kp.astype(jnp.float32) * psk_ref[...][..., None]
+                    vp = vp.astype(jnp.float32) * psv_ref[...][..., None]
                 if pend_k_major:                       # [K, S, NKV, D]
                     kp_cat = kp.transpose(2, 1, 0, 3)  # [NKV, S, K, D]
                     vp_cat = vp.transpose(2, 1, 0, 3)
@@ -320,7 +333,8 @@ def _prefix_kernel(*args, bs: int, scale: float,
                    window=None, quant: bool = False, stacked: bool = False,
                    S: int = 1, pending: bool = False, newkv: bool = False,
                    finalize: bool = False, group: int = 0,
-                   rowwise: bool = False, pend_k_major: bool = False):
+                   rowwise: bool = False, pend_k_major: bool = False,
+                   pquant: bool = False):
     """Online-softmax over one page per grid step for S sequences at once.
 
     S > 1 exists to beat LATENCY, not throughput: one sequence's
@@ -378,6 +392,9 @@ def _prefix_kernel(*args, bs: int, scale: float,
     if pending:
         pk_ref, pv_ref = refs[idx:idx + 2]
         idx += 2
+        if pquant:
+            psk_ref, psv_ref = refs[idx:idx + 2]
+            idx += 2
     if newkv:
         kn_ref, vn_ref = refs[idx:idx + 2]
         idx += 2
@@ -519,6 +536,17 @@ def _prefix_kernel(*args, bs: int, scale: float,
                     vp = jnp.transpose(vp, (1, 2, 0, 3))
                 kp = kp.astype(jnp.float32)            # [S, NKV, K, D]
                 vp = vp.astype(jnp.float32)
+                if pquant:
+                    # dequant at width (see _prefix_kernel_hc: the
+                    # scale-fold form needs a reshape Mosaic rejects)
+                    if pend_k_major:                   # [K, S, NKV]
+                        ksv = psk_ref[...].transpose(1, 2, 0)
+                        vsv = psv_ref[...].transpose(1, 2, 0)
+                    else:                              # [S, NKV, K]
+                        ksv = psk_ref[...]
+                        vsv = psv_ref[...]
+                    kp = kp * ksv[..., None]
+                    vp = vp * vsv[..., None]
                 sp_parts = [jax.lax.dot_general(
                     qv[j], kp[j], (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
@@ -583,7 +611,8 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
                           Q: int = 3, nb_pool: int = 0, kk: int = 0,
                           pending: bool = False, newkv: bool = False,
                           finalize: bool = False,
-                          pend_k_major: bool = False):
+                          pend_k_major: bool = False,
+                          pquant: bool = False):
     """Deep-queue manual-DMA decode kernel (head-concat state layout).
 
     One grid step. The kernel walks items t = g * mb + i (sequence group
@@ -616,6 +645,9 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
     if pending:
         pk_any, pv_any = refs[idx], refs[idx + 1]
         idx += 2
+        if pquant:
+            psk_any, psv_any = refs[idx], refs[idx + 1]
+            idx += 2
     if newkv:
         kn_ref, vn_ref = refs[idx], refs[idx + 1]
         idx += 2
@@ -629,6 +661,9 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
     if pending:
         pkbuf, pvbuf = refs[idx], refs[idx + 1]
         idx += 2
+        if pquant:
+            pskbuf, psvbuf = refs[idx], refs[idx + 1]
+            idx += 2
     m_s, l_s, acc_ref, sems = refs[idx:idx + 4]
     idx += 4
     psem = refs[idx] if pending else None
@@ -686,8 +721,23 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
             srcv = pv_any.at[pl.ds(g * S, S), :, pl.ds(r0, CH)]
             dstk = pkbuf.at[pslot, :, :, pl.ds(r0, CH)]
             dstv = pvbuf.at[pslot, :, :, pl.ds(r0, CH)]
-        return [pltpu.make_async_copy(srck, dstk, psem.at[pslot, 0, c]),
-                pltpu.make_async_copy(srcv, dstv, psem.at[pslot, 1, c])]
+        out = [pltpu.make_async_copy(srck, dstk, psem.at[pslot, 0, c]),
+               pltpu.make_async_copy(srcv, dstv, psem.at[pslot, 1, c])]
+        if pquant:
+            if pend_k_major:
+                base_r = lay_ref[0] * kk if stacked else 0
+                sck = psk_any.at[pl.ds(base_r + r0, CH), pl.ds(g * S, S)]
+                scv = psv_any.at[pl.ds(base_r + r0, CH), pl.ds(g * S, S)]
+                dsk = pskbuf.at[pslot, pl.ds(r0, CH)]
+                dsv = psvbuf.at[pslot, pl.ds(r0, CH)]
+            else:
+                sck = psk_any.at[pl.ds(g * S, S), :, pl.ds(r0, CH)]
+                scv = psv_any.at[pl.ds(g * S, S), :, pl.ds(r0, CH)]
+                dsk = pskbuf.at[pslot, :, :, pl.ds(r0, CH)]
+                dsv = psvbuf.at[pslot, :, :, pl.ds(r0, CH)]
+            out += [pltpu.make_async_copy(sck, dsk, psem.at[pslot, 2, c]),
+                    pltpu.make_async_copy(scv, dsv, psem.at[pslot, 3, c])]
+        return out
 
     def start_item(t, slot):
         g, i = t // mb, t % mb
@@ -829,6 +879,13 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
                 q_cat = qv.transpose(1, 0, 2, 3).reshape(nkv, R, d)
                 kp = pkbuf[pslot]
                 vp = pvbuf[pslot]
+                if pquant:
+                    # dequant at width (scale-fold needs a reshape
+                    # Mosaic rejects; the pending block is tiny)
+                    kp = (kp.astype(jnp.float32)
+                          * pskbuf[pslot][..., None])
+                    vp = (vp.astype(jnp.float32)
+                          * psvbuf[pslot][..., None])
                 if pend_k_major:                       # [K, S, NKV, D]
                     kp_cat = kp.transpose(2, 1, 0, 3)  # [NKV, S, K, D]
                     vp_cat = vp.transpose(2, 1, 0, 3)
@@ -895,7 +952,13 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
         l_ref[pl.ds(g * S, S)] = to_out(l_s[...])
 
     if pending:
-        pvbuf[...] = jnp.zeros_like(pvbuf)
+        # un-fetched chunks must be finite through 0 * x in the PV dot:
+        # int8 buffer garbage is finite but FLOAT pending (and the f32
+        # v-scales) can hold NaNs in never-written VMEM
+        if pquant:
+            psvbuf[...] = jnp.zeros_like(psvbuf)
+        else:
+            pvbuf[...] = jnp.zeros_like(pvbuf)
     for t0 in range(min(Q - 1, n_items)):
         start_item(t0, t0 % Q)
 
@@ -926,7 +989,8 @@ def _prefix_kernel_manual(*args, bs: int, scale: float, window=None,
 def _manual_attention_call(qg, k_pages, v_pages, flat_bt, prefix_lens,
                            scale, *, window, qpos_lens, k_scale, v_scale,
                            pk_op, pv_op, count, new_kv, layer, nb_pool,
-                           S, bs, mb, kk, p_stacked, finalize, interpret):
+                           S, bs, mb, kk, p_stacked, finalize, interpret,
+                           psk_op=None, psv_op=None):
     """pallas_call plumbing for _prefix_kernel_manual (decode only).
 
     Pools/scales (and the folded pending buffer) ride in ANY memory
@@ -966,6 +1030,9 @@ def _manual_attention_call(qg, k_pages, v_pages, flat_bt, prefix_lens,
     if pending:
         in_specs += [any_spec, any_spec]
         operands += [pk_op, pv_op]
+        if psk_op is not None:
+            in_specs += [any_spec, any_spec]
+            operands += [psk_op, psv_op]
     if newkv:
         in_specs += [whole((b, nkv, d))] * 2
         operands += [new_kv[0], new_kv[1]]
@@ -979,13 +1046,17 @@ def _manual_attention_call(qg, k_pages, v_pages, flat_bt, prefix_lens,
         pshape = ((2, kk, S, nkv, d) if p_stacked
                   else (2, S, nkv, kk, d))
         scratch += [pltpu.VMEM(pshape, pk_op.dtype)] * 2
+        if psk_op is not None:
+            scshape = ((2, kk, S, nkv) if p_stacked
+                       else (2, S, nkv, kk))
+            scratch += [pltpu.VMEM(scshape, jnp.float32)] * 2
     scratch += [pltpu.VMEM((nkv, S * g, 1), jnp.float32),
                 pltpu.VMEM((nkv, S * g, 1), jnp.float32),
                 pltpu.VMEM((nkv, S * g, d), jnp.float32),
                 pltpu.SemaphoreType.DMA((Q, 4 * S if quant else 2 * S))]
     if pending:
         scratch.append(pltpu.SemaphoreType.DMA(
-            (2, 2, -(-kk // min(8, kk)))))
+            (2, 4 if psk_op is not None else 2, -(-kk // min(8, kk)))))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -1008,7 +1079,8 @@ def _manual_attention_call(qg, k_pages, v_pages, flat_bt, prefix_lens,
                           stacked=stacked, S=S, mb=mb, n_groups=n_groups,
                           Q=Q, nb_pool=nb_pool, kk=kk, pending=pending,
                           newkv=newkv, finalize=finalize,
-                          pend_k_major=p_stacked),
+                          pend_k_major=p_stacked,
+                          pquant=psk_op is not None),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -1037,7 +1109,8 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                            window=None, k_scale=None, v_scale=None,
                            layer=None, qpos_lens=None, pending_kv=None,
                            count=None, new_kv=None, finalize=False,
-                           qpos_group=None, manual=None):
+                           qpos_group=None, manual=None,
+                           pending_scales=None):
     """Unnormalized flash attention over cached prefix pages (mesh-aware).
 
     Under an active mesh (parallel/mesh.py:set_active_mesh) the kernel
@@ -1058,13 +1131,15 @@ def paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             interpret=interpret, window=window, k_scale=k_scale,
             v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
             pending_kv=pending_kv, count=count, new_kv=new_kv,
-            finalize=finalize, qpos_group=qpos_group, manual=manual)
+            finalize=finalize, qpos_group=qpos_group, manual=manual,
+            pending_scales=pending_scales)
     return _paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
         v_scale=v_scale, layer=layer, qpos_lens=qpos_lens,
         pending_kv=pending_kv, count=count, new_kv=new_kv,
-        finalize=finalize, qpos_group=qpos_group, manual=manual)
+        finalize=finalize, qpos_group=qpos_group, manual=manual,
+        pending_scales=pending_scales)
 
 
 def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
@@ -1074,7 +1149,7 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
                                     qpos_lens=None, pending_kv=None,
                                     count=None, new_kv=None,
                                     finalize=False, qpos_group=None,
-                                    manual=None):
+                                    manual=None, pending_scales=None):
     """shard_map TP/EP wrapping of the local kernel.
 
     Specs: q [B, R, D] rows are kv-head-major, so P(.., "model", ..)
@@ -1118,6 +1193,12 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         args += [pending_kv[0], pending_kv[1],
                  jnp.asarray(count, jnp.int32)]
         specs += [pspec] * 2 + [P()]
+        if pending_scales is not None:
+            psc_spec = (P(None, None, "data", "model")
+                        if pending_kv[0].ndim == 5
+                        else P("data", "model", None))
+            args += [pending_scales[0], pending_scales[1]]
+            specs += [psc_spec] * 2
     if newkv:
         args += [new_kv[0], new_kv[1]]
         specs += [P("data", "model", None)] * 2
@@ -1136,11 +1217,14 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
         if quant:
             ks, vs = a[i], a[i + 1]
             i += 2
-        pkv = cnt = nkv_ = None
+        pkv = cnt = nkv_ = psc = None
         if pending:
             pkv = (a[i], a[i + 1])
             cnt = a[i + 2]
             i += 3
+            if pending_scales is not None:
+                psc = (a[i], a[i + 1])
+                i += 2
         if newkv:
             nkv_ = (a[i], a[i + 1])
             i += 2
@@ -1149,7 +1233,7 @@ def _paged_prefix_attention_sharded(q, k_pages, v_pages, block_tables,
             q_, kp, vp, bt, ln, scale, interpret=interpret, window=window,
             k_scale=ks, v_scale=vs, layer=ly, qpos_lens=qp,
             pending_kv=pkv, count=cnt, new_kv=nkv_, finalize=finalize,
-            qpos_group=qpos_group, manual=manual)
+            qpos_group=qpos_group, manual=manual, pending_scales=psc)
 
     # nested inside another shard_map (pipeline parallelism's pipe-manual
     # region): the inner wrap must be built against the CONTEXT abstract
@@ -1176,7 +1260,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                             window=None, k_scale=None, v_scale=None,
                             layer=None, qpos_lens=None, pending_kv=None,
                             count=None, new_kv=None, finalize=False,
-                            qpos_group=None, manual=None):
+                            qpos_group=None, manual=None,
+                            pending_scales=None):
     """Single-device kernel invocation.
 
     qpos_lens: true query positions for the sliding-window bound (the
@@ -1321,13 +1406,19 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
             if pstk:
                 pk_op = pk_op.reshape((-1,) + pk_op.shape[2:])
                 pv_op = pv_op.reshape((-1,) + pv_op.shape[2:])
+        psk_op = psv_op = None
+        if pending_kv is not None and pending_scales is not None:
+            psk_op, psv_op = pending_scales
+            if pstk:
+                psk_op = psk_op.reshape((-1,) + psk_op.shape[2:])
+                psv_op = psv_op.reshape((-1,) + psv_op.shape[2:])
         return _manual_attention_call(
             qg, k_pages, v_pages, flat_bt, prefix_lens, scale,
             window=window, qpos_lens=qpos_lens, k_scale=k_scale,
             v_scale=v_scale, pk_op=pk_op, pv_op=pv_op, count=count,
             new_kv=new_kv, layer=layer, nb_pool=nb_pool, S=S, bs=bs,
             mb=mb, kk=kk_m, p_stacked=pstk, finalize=finalize,
-            interpret=interpret)
+            interpret=interpret, psk_op=psk_op, psv_op=psv_op)
 
     def page_index_j(j):
         def index(bi, qi, ii, *pref):
@@ -1408,6 +1499,25 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                       else (S,) + pending_kv[0].shape[1:])
         in_specs += [pl.BlockSpec(pend_block, pend_index)] * 2
         operands += [pk_op, pv_op]
+        if pending_scales is not None:
+            psk_op, psv_op = pending_scales
+            if p_stacked:
+                # stacked K-major scales [L, K, B, NKV] folded like the
+                # buffer; block rows lay*K..+K x this group's sequences
+                psk_op = psk_op.reshape((-1,) + psk_op.shape[2:])
+                psv_op = psv_op.reshape((-1,) + psv_op.shape[2:])
+
+                def pend_sc_index(bi, qi, ii, *pref):
+                    return (pref[0][0], bi, 0)
+
+                psc_block = (kk, S, nkv)
+            else:
+                def pend_sc_index(bi, qi, ii, *pref):
+                    return (bi, 0, 0)
+
+                psc_block = (S,) + pending_scales[0].shape[1:]
+            in_specs += [pl.BlockSpec(psc_block, pend_sc_index)] * 2
+            operands += [psk_op, psv_op]
     if newkv:
         in_specs += [pl.BlockSpec((S, nkv, d), batch_index3)] * 2
         operands += [new_kv[0], new_kv[1]]
@@ -1454,7 +1564,8 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
                           quant=quant, stacked=stacked, S=S,
                           pending=pending, newkv=newkv, finalize=finalize,
                           group=group, rowwise=rowwise,
-                          pend_k_major=p_stacked),
+                          pend_k_major=p_stacked,
+                          pquant=pending_scales is not None),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, nkv, g, d), jnp.float32),
@@ -1498,16 +1609,20 @@ def decode_attention_deferred(q, k_new, v_new, k_pages, v_pages,
     qpos = None
     if window is not None and pending is not None:
         qpos = prefix_lens + pending[2]
-    pkv = cnt = None
+    pkv = cnt = pscales = None
     if pending is not None:
         pkv = (pending[0], pending[1])
         cnt = pending[2]
+        if len(pending) == 5:
+            # int8-quantized lookahead buffer + per-(step, seq, head)
+            # scales — same dequant discipline as the int8 page pool
+            pscales = (pending[3], pending[4])
     out, _, _ = paged_prefix_attention(
         q, k_pages, v_pages, block_tables, prefix_lens, scale,
         interpret=interpret, window=window, k_scale=k_scale,
         v_scale=v_scale, layer=layer, qpos_lens=qpos,
         pending_kv=pkv, count=cnt, new_kv=(k_new, v_new), finalize=True,
-        manual=manual)
+        manual=manual, pending_scales=pscales)
     return out.reshape(b, nh, d).astype(q.dtype)
 
 
@@ -1631,7 +1746,14 @@ def decode_attention_deferred_xla(q, k_new, v_new, k_pages, v_pages,
     v = gather_pages(v_pages, block_tables, v_scale, layer=layer)
     extra = 1
     if pending is not None:
-        k_buf, v_buf, count = pending
+        k_buf, v_buf, count = pending[0], pending[1], pending[2]
+        if len(pending) == 5:
+            # int8 lookahead buffer: dequantize with the per-(step,
+            # seq, head) scales before joining the context
+            k_buf = (k_buf.astype(jnp.float32)
+                     * pending[3][..., None]).astype(k.dtype)
+            v_buf = (v_buf.astype(jnp.float32)
+                     * pending[4][..., None]).astype(v.dtype)
         j = k_buf.shape[2]                                 # [B, NKV, J, D]
         extra += j
         k = jnp.concatenate([k, k_buf.astype(k.dtype)], axis=2)
