@@ -273,14 +273,17 @@ def test_quantized_pending_attention_parity():
     cnt = jnp.int32(5)
     lay = jnp.int32(1)
     for manual in (False, True):
-        a = decode_attention_deferred(
-            q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
-            pending=(pkq, pvq, cnt, pks, pvs), layer=lay, manual=manual)
-        b = decode_attention_deferred(
-            q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
-            pending=(pk_dq, pv_dq, cnt), layer=lay, manual=manual)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
+        for window in (None, BS + 3):
+            a = decode_attention_deferred(
+                q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
+                pending=(pkq, pvq, cnt, pks, pvs), layer=lay,
+                manual=manual, window=window)
+            b = decode_attention_deferred(
+                q, kn, vn, kp, vp, bt, pl_, scale, interpret=True,
+                pending=(pk_dq, pv_dq, cnt), layer=lay, manual=manual,
+                window=window)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
     # XLA reference (page-shaped 5-tuple, stacked pools via layer)
     xr = decode_attention_deferred_xla(
         q, kn, vn, kp, vp, bt, pl_, scale, layer=lay,
