@@ -291,7 +291,13 @@ def spec_phase(args, quant, k):
     a2 = copy.copy(args)
     a2.batch = 8
     engine = build_engine(cfg, a2, quant, args.kv_dtype,
-                          num_speculative_tokens=k)
+                          num_speculative_tokens=k,
+                          # raw spec-path measurement: the engine's
+                          # wall-clock gate would fall back to fused
+                          # plain decode on this high-dispatch-overhead
+                          # setup (which is exactly what the reported
+                          # plain/spec rate pair demonstrates)
+                          spec_throughput_gate=False)
     rng = np.random.default_rng(3)
     prompts = [rng.integers(0, cfg.vocab_size, size=128).tolist()
                for _ in range(8)]

@@ -34,6 +34,7 @@ def _build(num_spec, **kw):
     from vllm_backend_public_tpu.engine.engine import LLMEngine
 
     cfg, params = _tiny()
+    kw.setdefault("spec_throughput_gate", False)
     econ = EngineConfig(model="t", dtype="float32", block_size=8,
                         max_num_seqs=4, max_model_len=96,
                         max_num_batched_tokens=64, num_kv_blocks=60,
@@ -221,3 +222,34 @@ def test_spec_rejection_sampling_distribution():
     sigma = np.sqrt(p_ref * (1 - p_ref) / W)
     assert np.all(np.abs(freq - p_ref) < 5 * sigma + 1e-3), (
         freq, p_ref, sigma)
+
+
+def test_spec_throughput_gate_phases():
+    """round 5: the engine-level wall-clock gate probes spec rounds, then
+    fused plain calls, and holds the faster mode; a slow spec regime
+    must land in phase 'plain' and re-probe after the hold."""
+    eng = _build(3, spec_throughput_gate=True)
+    g = eng._spec_clock
+    # spec probe: 6 slow spec calls (1 tok per 10 ms)
+    for _ in range(6):
+        assert eng._spec_gate_allows()
+        eng._spec_gate_record("spec", 0.010, 1)
+    assert g["phase"] == "plain_probe"
+    assert not eng._spec_gate_allows()
+    # plain probe: 2 fast plain calls (32 toks per 10 ms)
+    for _ in range(2):
+        eng._spec_gate_record("plain", 0.010, 32)
+    assert g["phase"] == "plain"
+    assert not eng._spec_gate_allows()
+    # hold expires -> re-probe
+    for _ in range(g["hold"]):
+        eng._spec_gate_record("plain", 0.010, 32)
+    assert g["phase"] == "spec_probe"
+    assert eng._spec_gate_allows()
+    # this time spec is faster -> phase 'spec'
+    for _ in range(6):
+        eng._spec_gate_record("spec", 0.010, 64)
+    for _ in range(2):
+        eng._spec_gate_record("plain", 0.010, 32)
+    assert g["phase"] == "spec"
+    assert eng._spec_gate_allows()

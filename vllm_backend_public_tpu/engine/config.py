@@ -86,6 +86,10 @@ class EngineConfig:
     # round per 8 fused 32-step decode calls.
     spec_min_accept: float = 0.1
     spec_probe_tokens: int = 256
+    # engine-level throughput gate: probe spec-round vs fused-plain
+    # wall rates and run the faster (see engine._spec_gate_record).
+    # Disable to measure the raw speculative path (bench --spec does).
+    spec_throughput_gate: bool = True
     # automatic prefix caching (needs the native allocator's radix cache)
     enable_prefix_caching: bool = True
     # shortest-first prefill packing fairness bound: within one priority

@@ -356,7 +356,8 @@ class LLMEngine:
                         # speculating rows — per-sequence acceptance =
                         # spec_row_emitted / spec_seq_rounds
                         "spec_rounds": 0, "spec_emitted": 0,
-                        "spec_seq_rounds": 0, "spec_row_emitted": 0}
+                        "spec_seq_rounds": 0, "spec_row_emitted": 0,
+                        "spec_gate_phase": "spec_probe"}
 
     # ------------------------------------------------------------------ setup
 
@@ -685,6 +686,18 @@ class LLMEngine:
         # and _run_spec_decode validates any nonzero runtime value
         # against this snapshot instead of re-reading it per step.
         K_spec = self._K_spec_built = self.econfig.num_speculative_tokens
+        # engine-level speculative THROUGHPUT gate (round 5): acceptance
+        # cooldowns can't catch the regime where the spec round itself is
+        # slower than fused plain decode — a spec round is one dispatch
+        # per ~acc+1 tokens/row while plain fuses K steps per dispatch,
+        # so high per-dispatch overhead (e.g. a remote tunnel) can make
+        # 4+-token acceptance STILL lose (measured 0.64x at b8 greedy on
+        # the tunneled bench chip). The engine probes both modes by wall
+        # clock and runs the faster, re-probing periodically.
+        self._spec_clock = {"phase": "spec_probe", "left": 6,
+                            "spec_rate": None, "plain_rate": None,
+                            "spec_probe": 6, "plain_probe": 2,
+                            "hold": 64}
         if K_spec > 0:
             T = K_spec + 1
 
@@ -1005,8 +1018,17 @@ class LLMEngine:
                 and any(self._spec_eligible(r.sampling)
                         and r.spec_cooldown <= 0
                         for r in plan.requests))
-            if eligible:
-                return self._run_spec_decode(plan)
+            if eligible and self._spec_gate_allows():
+                t0 = time.perf_counter()
+                emitted0 = self.metrics["spec_emitted"]
+                outs = self._run_spec_decode(plan)
+                self._spec_gate_record(
+                    "spec", time.perf_counter() - t0,
+                    self.metrics["spec_emitted"] - emitted0)
+                return outs
+            plain_t0 = time.perf_counter() if eligible else None
+        else:
+            plain_t0 = None
 
         K = self.econfig.decode_steps_per_call
         if self.scheduler.num_waiting and self.econfig.max_consecutive_prefills:
@@ -1060,6 +1082,10 @@ class LLMEngine:
                             [float(v) for v in tv[i, r]]))})
             outputs.append(self._apply_decode_tokens(
                 req, [int(t) for t in toks_host[:, r]]))
+        if plain_t0 is not None:
+            self._spec_gate_record(
+                "plain", time.perf_counter() - plain_t0,
+                K * int(np.asarray(dev["active"]).sum()))
         return outputs
 
     @staticmethod
@@ -1092,6 +1118,41 @@ class LLMEngine:
                 and (s.temperature == 0.0
                      or (s.top_k <= 0 and s.top_p >= 1.0
                          and s.min_p == 0.0)))
+
+    def _spec_gate_allows(self) -> bool:
+        if not self.econfig.spec_throughput_gate:
+            return True
+        return self._spec_clock["phase"] in ("spec_probe", "spec")
+
+    def _spec_gate_record(self, mode: str, dt: float, ntoks: int) -> None:
+        """Feed one timed decode call into the throughput gate.
+
+        Phases: spec_probe (N spec rounds) -> plain_probe (M fused
+        calls) -> spec|plain held for `hold` calls -> re-probe. Rates
+        are tokens/wall-second EMAs; spec wins only with a 5% margin."""
+        if not self.econfig.spec_throughput_gate:
+            return
+        g = self._spec_clock
+        if ntoks > 0 and dt > 0:
+            rate = ntoks / dt
+            ema = g[mode + "_rate"]
+            g[mode + "_rate"] = (rate if ema is None
+                                 else 0.5 * ema + 0.5 * rate)
+        g["left"] -= 1
+        if g["left"] > 0:
+            return
+        if g["phase"] == "spec_probe":
+            g["phase"], g["left"] = "plain_probe", g["plain_probe"]
+        elif g["phase"] == "plain_probe":
+            sr, pr = g["spec_rate"], g["plain_rate"]
+            if sr is not None and pr is not None and sr > 1.05 * pr:
+                g["phase"], g["left"] = "spec", g["hold"]
+            else:
+                g["phase"], g["left"] = "plain", g["hold"]
+        else:
+            g["phase"], g["left"] = "spec_probe", g["spec_probe"]
+            g["spec_rate"] = g["plain_rate"] = None
+        self.metrics["spec_gate_phase"] = g["phase"]
 
     def _run_spec_decode(self, plan) -> List[RequestOutput]:
         """One speculative round (per-request; see spec_step)."""
