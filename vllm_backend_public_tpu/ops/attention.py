@@ -257,9 +257,17 @@ def _prefix_kernel_hc(*args, bs: int, scale: float,
                     # [*, D]-sized multiply is the kernel's biggest VPU
                     # term), the pending block is tiny, and folding the
                     # scales into sp/p needs an [NKV, S, K]->[NKV, S*K]
-                    # reshape Mosaic rejects ("unsupported shape cast")
-                    kp = kp.astype(jnp.float32) * psk_ref[...][..., None]
-                    vp = vp.astype(jnp.float32) * psv_ref[...][..., None]
+                    # reshape Mosaic rejects ("unsupported shape cast").
+                    # Scale blocks cover ALL B sequences (fetched once
+                    # per layer); slice this group's S here in VMEM.
+                    if pend_k_major:                   # [K, B, NKV]
+                        ksc = psk_ref[:, pl.ds(bi * S, S)]
+                        vsc = psv_ref[:, pl.ds(bi * S, S)]
+                    else:                              # [B, NKV, K]
+                        ksc = psk_ref[pl.ds(bi * S, S)]
+                        vsc = psv_ref[pl.ds(bi * S, S)]
+                    kp = kp.astype(jnp.float32) * ksc[..., None]
+                    vp = vp.astype(jnp.float32) * vsc[..., None]
                 if pend_k_major:                       # [K, S, NKV, D]
                     kp_cat = kp.transpose(2, 1, 0, 3)  # [NKV, S, K, D]
                     vp_cat = vp.transpose(2, 1, 0, 3)
@@ -538,13 +546,16 @@ def _prefix_kernel(*args, bs: int, scale: float,
                 vp = vp.astype(jnp.float32)
                 if pquant:
                     # dequant at width (see _prefix_kernel_hc: the
-                    # scale-fold form needs a reshape Mosaic rejects)
-                    if pend_k_major:                   # [K, S, NKV]
-                        ksv = psk_ref[...].transpose(1, 2, 0)
-                        vsv = psv_ref[...].transpose(1, 2, 0)
-                    else:                              # [S, NKV, K]
-                        ksv = psk_ref[...]
-                        vsv = psv_ref[...]
+                    # scale-fold form needs a reshape Mosaic rejects);
+                    # scale blocks cover ALL B — slice this group
+                    if pend_k_major:                   # [K, B, NKV]
+                        ksv = (psk_ref[:, pl.ds(bi * S, S)]
+                               .transpose(1, 2, 0))    # [S, NKV, K]
+                        vsv = (psv_ref[:, pl.ds(bi * S, S)]
+                               .transpose(1, 2, 0))
+                    else:                              # [B, NKV, K]
+                        ksv = psk_ref[pl.ds(bi * S, S)]
+                        vsv = psv_ref[pl.ds(bi * S, S)]
                     kp = kp * ksv[..., None]
                     vp = vp * vsv[..., None]
                 sp_parts = [jax.lax.dot_general(
@@ -1500,22 +1511,29 @@ def _paged_prefix_attention(q, k_pages, v_pages, block_tables, prefix_lens,
         in_specs += [pl.BlockSpec(pend_block, pend_index)] * 2
         operands += [pk_op, pv_op]
         if pending_scales is not None:
+            # the scale tables ride as ONE whole-batch block per layer
+            # (index constant across grid steps -> fetched once): a
+            # per-group (kk, S, nkv) slice would fetch kk rows of
+            # S*NKV*4 = 256 B each — the ~18 GB/s strided-chunk
+            # pathology — at EVERY grid step (measured +1.6 ms/step at
+            # b128 bs128, where the grid has 3x the steps). The kernel
+            # slices its group's S sequences in VMEM instead.
             psk_op, psv_op = pending_scales
             if p_stacked:
                 # stacked K-major scales [L, K, B, NKV] folded like the
-                # buffer; block rows lay*K..+K x this group's sequences
+                # buffer; block rows lay*K..+K x ALL B sequences
                 psk_op = psk_op.reshape((-1,) + psk_op.shape[2:])
                 psv_op = psv_op.reshape((-1,) + psv_op.shape[2:])
 
                 def pend_sc_index(bi, qi, ii, *pref):
-                    return (pref[0][0], bi, 0)
+                    return (pref[0][0], 0, 0)
 
-                psc_block = (kk, S, nkv)
+                psc_block = (kk, b, nkv)
             else:
                 def pend_sc_index(bi, qi, ii, *pref):
-                    return (bi, 0, 0)
+                    return (0, 0, 0)
 
-                psc_block = (S,) + pending_scales[0].shape[1:]
+                psc_block = pending_scales[0].shape
             in_specs += [pl.BlockSpec(psc_block, pend_sc_index)] * 2
             operands += [psk_op, psv_op]
     if newkv:
